@@ -1,0 +1,23 @@
+"""Test harness config: run on CPU with 8 virtual XLA devices.
+
+NOTE: in this environment ``sitecustomize.py`` pre-imports jax and
+registers the remote-TPU (axon) PJRT plugin at interpreter startup, so
+setting ``JAX_PLATFORMS``/``XLA_FLAGS`` env vars here is too late.
+Instead force the platform through ``jax.config`` before any backend is
+initialized (conftest runs before any test module touches a device).
+
+8 virtual CPU devices let the `shard_map` data-parallel step and the
+sharded-latent-grid halo exchange be tested without a TPU pod slice —
+the same code runs unchanged on real meshes.
+"""
+
+import os
+import sys
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+
+# Repo root on sys.path so `space_time_pde_tpu` imports without install.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
