@@ -1,0 +1,82 @@
+"""M2 model tests: ImNet / UNet3d shapes, jit, and torch-oracle parity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+
+from space_time_pde_tpu.models import ImNet, UNet3d
+
+
+def test_imnet_shapes_and_jit():
+    model = ImNet(dim=3, in_features=32, out_features=4, nf=32)
+    x = jnp.ones((7, 8, 35))
+    params = model.init(jax.random.PRNGKey(0), x)
+    out = jax.jit(model.apply)(params, x)
+    assert out.shape == (7, 8, 4)
+
+
+def test_imnet_layer_widths():
+    model = ImNet(dim=3, in_features=32, out_features=4, nf=32)
+    params = model.init(jax.random.PRNGKey(0), jnp.ones((1, 35)))["params"]
+    # fc0: 35 -> 512; fc1..fc4 take (prev + 35); fc5: 32 -> 4.
+    assert params["fc0"]["kernel"].shape == (35, 512)
+    assert params["fc1"]["kernel"].shape == (512 + 35, 256)
+    assert params["fc2"]["kernel"].shape == (256 + 35, 128)
+    assert params["fc3"]["kernel"].shape == (128 + 35, 64)
+    assert params["fc4"]["kernel"].shape == (64 + 35, 32)
+    assert params["fc5"]["kernel"].shape == (32, 4)
+
+
+def test_imnet_matches_torch_oracle():
+    from torch_oracle import TorchImNet
+
+    model = ImNet(dim=3, in_features=8, out_features=4, nf=4)
+    rng = np.random.RandomState(0)
+    x = rng.randn(64, 11).astype(np.float32)
+    params = model.init(jax.random.PRNGKey(1), jnp.asarray(x))
+
+    tmodel = TorchImNet(dim=3, in_features=8, out_features=4, nf=4)
+    tmodel.load_from_flax(params["params"])
+
+    got = np.asarray(model.apply(params, jnp.asarray(x)))
+    want = tmodel(torch.from_numpy(x)).detach().numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_unet3d_output_same_resolution():
+    model = UNet3d(in_features=4, out_features=32, igres=(4, 16, 16), nf=16)
+    x = jnp.ones((2, 4, 16, 16, 4))
+    params = model.init(jax.random.PRNGKey(0), x)
+    out = jax.jit(model.apply)(params, x)
+    assert out.shape == (2, 4, 16, 16, 32)
+    assert model.levels == 2
+
+
+def test_unet3d_anisotropic_grid():
+    model = UNet3d(in_features=4, out_features=8, igres=(8, 32, 16), nf=8)
+    x = jnp.ones((1, 8, 32, 16, 4))
+    params = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(params, x)
+    assert out.shape == (1, 8, 32, 16, 8)
+    assert model.levels == 3
+
+
+def test_unet3d_rejects_wrong_resolution():
+    model = UNet3d(igres=(4, 16, 16))
+    x = jnp.ones((1, 4, 8, 16, 4))
+    import pytest
+    with pytest.raises(ValueError):
+        model.init(jax.random.PRNGKey(0), x)
+
+
+def test_unet3d_batch_independence():
+    # GroupNorm (not BatchNorm): each batch element processed identically.
+    model = UNet3d(in_features=4, out_features=8, igres=(4, 8, 8), nf=8)
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(3, 4, 8, 8, 4).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), x)
+    full = model.apply(params, x)
+    single = model.apply(params, x[1:2])
+    np.testing.assert_allclose(np.asarray(full[1]), np.asarray(single[0]),
+                               rtol=2e-5, atol=2e-5)
