@@ -1,0 +1,233 @@
+"""RB2D space-time dataset — crops, degradation, continuous-point GT.
+
+TPU-native equivalent of the reference's
+``experiments/rb2d/dataloader_spacetime.py::RB2DataLoader``: loads an
+``.npz`` of a Rayleigh–Bénard simulation (arrays ``p, b, u, w`` of shape
+[T, Z, X]); each item is a random space-time crop from which it builds
+
+- the low-res input: optional anti-alias filter (``lres_filter`` in
+  {none, gaussian, uniform, median, maximum}) + downsampling by
+  ``downsamp_t`` / ``downsamp_xz`` (``lres_interp`` linear or nearest),
+- ``n_samp_pts_per_crop`` uniform continuous points in the crop with
+  ground-truth values read via linear grid interpolation,
+- per-channel mean/std normalization.
+
+Design differences from the reference (documented, deliberate):
+- channels-LAST layout ``[T, Z, X, 4]`` (TPU NDHWC convs);
+- the low-res lattice is endpoint-aligned (``linspace(0, n-1,
+  n//downsamp)`` nodes, sampled linearly/nearest from the filtered
+  hres crop) instead of strided decimation, so the latent grid always
+  spans the full [0, 1]^3 crop domain — no clamped query tail;
+- no worker subprocesses: batches are assembled by vectorized numpy in
+  the host thread (the TPU step is async — host/device overlap comes
+  free from jax dispatch), with explicit PRNG threading instead of
+  global torch seeds.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional, Sequence, Tuple
+
+import numpy as np
+from scipy import ndimage
+from scipy.interpolate import RegularGridInterpolator
+
+__all__ = ["RB2DataLoader"]
+
+CHANNELS = ("p", "b", "u", "w")
+FILTERS = ("none", "gaussian", "uniform", "median", "maximum")
+
+
+class RB2DataLoader:
+    """Space-time crop dataset over an RB2D npz file.
+
+    Reference parity: ``experiments/rb2d/dataloader_spacetime.py::
+    RB2DataLoader`` (same flags: nt/nz/nx crop sizes, downsamp_t /
+    downsamp_xz, n_samp_pts_per_crop, lres_filter, lres_interp,
+    normalize_channels, return_hres).
+    """
+
+    def __init__(
+        self,
+        data_folder: str = ".",
+        data_filename: str = "rb2d_ra1e6_s42.npz",
+        nt: int = 16,
+        nz: int = 128,
+        nx: int = 128,
+        n_samp_pts_per_crop: int = 512,
+        downsamp_t: int = 4,
+        downsamp_xz: int = 8,
+        normalize_output: bool = True,
+        return_hres: bool = False,
+        lres_filter: str = "none",
+        lres_interp: str = "linear",
+        velonly: bool = False,
+    ):
+        if lres_filter not in FILTERS:
+            raise ValueError(f"lres_filter must be one of {FILTERS}")
+        if lres_interp not in ("linear", "nearest"):
+            raise ValueError("lres_interp must be 'linear' or 'nearest'")
+        path = os.path.join(data_folder, data_filename)
+        with np.load(path) as npz:
+            self.data = np.stack(
+                [np.asarray(npz[c], np.float32) for c in CHANNELS], axis=-1
+            )  # [T, Z, X, 4]
+            self.dt_phys = float(npz["dt"]) if "dt" in npz else 1.0
+            self.dz_phys = float(npz["dz"]) if "dz" in npz else 1.0
+            self.dx_phys = float(npz["dx"]) if "dx" in npz else 1.0
+
+        T, Z, X, _ = self.data.shape
+        if nt > T or nz > Z or nx > X:
+            raise ValueError(
+                f"crop ({nt},{nz},{nx}) larger than data ({T},{Z},{X})")
+        self.nt, self.nz, self.nx = nt, nz, nx
+        self.n_samp_pts_per_crop = n_samp_pts_per_crop
+        self.downsamp_t, self.downsamp_xz = downsamp_t, downsamp_xz
+        self.normalize_output = normalize_output
+        self.return_hres = return_hres
+        self.lres_filter = lres_filter
+        self.lres_interp = lres_interp
+        self.velonly = velonly
+
+        self.nt_l = max(2, nt // downsamp_t)
+        self.nz_l = max(2, nz // downsamp_xz)
+        self.nx_l = max(2, nx // downsamp_xz)
+
+        # Per-channel stats over the whole dataset (reference computes
+        # these in the dataloader and shares them with the PDE layer).
+        self.channel_mean = self.data.mean(axis=(0, 1, 2))
+        self.channel_std = self.data.std(axis=(0, 1, 2)) + 1e-8
+        if not normalize_output:
+            self.channel_mean = np.zeros_like(self.channel_mean)
+            self.channel_std = np.ones_like(self.channel_std)
+
+        self._origins = (T - nt + 1, Z - nz + 1, X - nx + 1)
+
+    # ------------------------------------------------------------------
+
+    def __len__(self) -> int:
+        o = self._origins
+        return o[0] * o[1] * o[2]
+
+    @property
+    def lres_shape(self) -> Tuple[int, int, int]:
+        return (self.nt_l, self.nz_l, self.nx_l)
+
+    @property
+    def coord_extents(self) -> Tuple[float, float, float]:
+        """Physical spans of the [0,1]-normalized crop coordinates
+        (for PDELayer.set_scaling)."""
+        return ((self.nt - 1) * self.dt_phys,
+                (self.nz - 1) * self.dz_phys,
+                (self.nx - 1) * self.dx_phys)
+
+    # ------------------------------------------------------------------
+
+    def _filter(self, crop: np.ndarray) -> np.ndarray:
+        """Anti-alias filter on the (z, x) axes, per channel & frame."""
+        if self.lres_filter == "none":
+            return crop
+        size = max(self.downsamp_xz // 2 * 2 + 1, 3)
+        sigma = self.downsamp_xz / 2.0
+        out = np.empty_like(crop)
+        for c in range(crop.shape[-1]):
+            f = crop[..., c]
+            if self.lres_filter == "gaussian":
+                out[..., c] = ndimage.gaussian_filter(
+                    f, sigma=(0, sigma, sigma))
+            elif self.lres_filter == "uniform":
+                out[..., c] = ndimage.uniform_filter(
+                    f, size=(1, size, size))
+            elif self.lres_filter == "median":
+                out[..., c] = ndimage.median_filter(
+                    f, size=(1, size, size))
+            else:  # maximum
+                out[..., c] = ndimage.maximum_filter(
+                    f, size=(1, size, size))
+        return out
+
+    def _degrade(self, crop: np.ndarray) -> np.ndarray:
+        """Filtered crop -> endpoint-aligned low-res lattice sample."""
+        crop = self._filter(crop)
+        nt, nz, nx, _ = crop.shape
+        axes = (np.arange(nt), np.arange(nz), np.arange(nx))
+        interp = RegularGridInterpolator(
+            axes, crop, method=self.lres_interp)
+        tl = np.linspace(0, nt - 1, self.nt_l)
+        zl = np.linspace(0, nz - 1, self.nz_l)
+        xl = np.linspace(0, nx - 1, self.nx_l)
+        TT, ZZ, XX = np.meshgrid(tl, zl, xl, indexing="ij")
+        pts = np.stack([TT, ZZ, XX], axis=-1).reshape(-1, 3)
+        lres = interp(pts).reshape(self.nt_l, self.nz_l, self.nx_l, -1)
+        return lres.astype(np.float32)
+
+    def _crop_at(self, t0: int, z0: int, x0: int) -> np.ndarray:
+        return self.data[t0:t0 + self.nt, z0:z0 + self.nz,
+                         x0:x0 + self.nx]
+
+    def get_item(self, idx: int, rng: Optional[np.random.RandomState] = None
+                 ) -> Dict[str, np.ndarray]:
+        """Deterministic crop origin from idx; rng drives point sampling."""
+        o = self._origins
+        t0, rem = divmod(idx, o[1] * o[2])
+        z0, x0 = divmod(rem, o[2])
+        return self.sample_crop(t0, z0, x0,
+                                rng or np.random.RandomState(idx))
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        return self.get_item(idx)
+
+    def sample_crop(self, t0: int, z0: int, x0: int,
+                    rng: np.random.RandomState) -> Dict[str, np.ndarray]:
+        """One training item: lres input, query points, point values."""
+        hres = self._crop_at(t0, z0, x0)                  # [nt, nz, nx, 4]
+        lres = self._degrade(hres)
+
+        n = self.n_samp_pts_per_crop
+        pts = rng.rand(n, 3).astype(np.float32)           # [0,1]^3
+        axes = (np.linspace(0, 1, self.nt),
+                np.linspace(0, 1, self.nz),
+                np.linspace(0, 1, self.nx))
+        vals = RegularGridInterpolator(axes, hres)(pts).astype(np.float32)
+
+        mean, std = self.channel_mean, self.channel_std
+        item = {
+            "lres": (lres - mean) / std,
+            "point_coord": pts,
+            "point_value": (vals - mean) / std,
+        }
+        if self.velonly:
+            item["point_value"] = item["point_value"][:, 2:4]
+        if self.return_hres:
+            item["hres"] = (hres - mean) / std
+        return item
+
+    def sample_batch(self, rng: np.random.RandomState, batch_size: int
+                     ) -> Dict[str, np.ndarray]:
+        """Stack batch_size random items (random crop origins)."""
+        o = self._origins
+        items = []
+        for _ in range(batch_size):
+            t0 = rng.randint(o[0]); z0 = rng.randint(o[1])
+            x0 = rng.randint(o[2])
+            items.append(self.sample_crop(t0, z0, x0, rng))
+        return {k: np.stack([it[k] for it in items]) for k in items[0]}
+
+    # ------------------------------------------------------------------
+
+    def full_lres_sequence(self, t0: int = 0, nt: Optional[int] = None
+                           ) -> np.ndarray:
+        """Degraded low-res of a full-spatial-extent window, normalized —
+        the evaluation.py input (one encode, dense decoding)."""
+        nt = nt or self.nt
+        window = self.data[t0:t0 + nt]                    # [nt, Z, X, 4]
+        saved = (self.nt_l, self.nz_l, self.nx_l)
+        self.nt_l = max(2, nt // self.downsamp_t)
+        self.nz_l = max(2, window.shape[1] // self.downsamp_xz)
+        self.nx_l = max(2, window.shape[2] // self.downsamp_xz)
+        try:
+            lres = self._degrade(window)
+        finally:
+            self.nt_l, self.nz_l, self.nx_l = saved
+        return (lres - self.channel_mean) / self.channel_std
