@@ -135,19 +135,26 @@ class PDELayer:
     def equation_names(self) -> List[str]:
         return [n for n, _ in self._eqs]
 
-    def __call__(self, coords: Array, return_outs: bool = False):
+    def __call__(self, coords: Array, return_outs: bool = False,
+                 fwd: Optional[Callable[[Array], Array]] = None):
         """Evaluate residuals at coords [..., D] (normalized units).
 
         Returns dict {name: [...] residual per point}; with
         ``return_outs=True`` also returns the primal outputs [..., V].
+        ``fwd`` overrides the bound forward method for this call — the
+        purely-functional path used inside jitted train steps (the
+        reference's ``update_forward_method`` mutates layer state each
+        step; here that is an optional convenience instead).
         """
-        if self.fwd is None:
+        if fwd is None:
+            fwd = self.fwd
+        if fwd is None:
             raise RuntimeError("call update_forward_method(fwd) first")
         lowered = self._lower_all()
         needed = set()
         for _, _, atom_keys in lowered:
             needed.update(k for k in atom_keys if isinstance(k, tuple))
-        derivs = self._compute_derivs(coords, needed)
+        derivs = self._compute_derivs(coords, needed, fwd)
 
         coords_phys = self._physical_coords(coords)
         residuals = {}
@@ -164,9 +171,11 @@ class PDELayer:
             return residuals, derivs["__outs__"]
         return residuals
 
-    def residual_loss(self, coords: Array) -> Tuple[Array, Dict[str, Array]]:
+    def residual_loss(self, coords: Array,
+                      fwd: Optional[Callable[[Array], Array]] = None
+                      ) -> Tuple[Array, Dict[str, Array]]:
         """Mean-square residual per equation and their sum (the pde loss)."""
-        res = self(coords)
+        res = self(coords, fwd=fwd)
         per_eq = {n: jnp.mean(jnp.square(r)) for n, r in res.items()}
         total = sum(per_eq.values())
         return total, per_eq
@@ -255,7 +264,7 @@ class PDELayer:
         t = jnp.zeros_like(coords)
         return t.at[..., axis].set(1.0)
 
-    def _compute_derivs(self, coords: Array, needed: set):
+    def _compute_derivs(self, coords: Array, needed: set, fwd=None):
         """Evaluate all needed derivative tensors with nested jvp.
 
         needed: set of (var_name, alpha) with alpha a sorted tuple of
@@ -263,7 +272,7 @@ class PDELayer:
         "__outs__": primal outputs [..., V] — all in PHYSICAL units per
         ``set_scaling``.
         """
-        fwd = self.fwd
+        fwd = fwd or self.fwd
         V = len(self.out_var_names)
 
         def deriv_fn(alpha: MultiIndex) -> Callable[[Array], Array]:

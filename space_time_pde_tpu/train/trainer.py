@@ -1,0 +1,214 @@
+"""Training engine: jitted loss/step functions and state handling.
+
+TPU-native equivalent of the reference's ``experiments/rb2d/train.py``
+hot loop: encode the low-res crop with UNet3d, query the local implicit
+grid at the sampled continuous points, regression loss (L1/L2/Huber
+selectable via ``reg_loss_type``) against the hi-res point ground truth,
+PDE residual loss at the same points (second-order derivatives via the
+compiled sympy layer), total = reg + alpha_pde * pde, Adam with global
+gradient clipping.
+
+Differences from the reference's structure (TPU-first):
+- ONE jitted, purely-functional train step containing everything —
+  encoder, query, all second-order physics derivatives, loss, grads,
+  optimizer update — so XLA fuses and schedules the whole step (the
+  reference builds second-order autograd graphs per step in Python);
+- ``nn.DataParallel`` is replaced by `parallel.dp` (shard_map + psum);
+  this module is mesh-agnostic — the same step function runs single-
+  device or wrapped in a mesh;
+- optional bf16 compute policy on the models with f32 parameters,
+  f32 physics/loss accumulation.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from space_time_pde_tpu.models import (
+    ImNet,
+    UNet3d,
+    query_local_implicit_grid,
+)
+from space_time_pde_tpu.physics.pde import PDELayer
+from space_time_pde_tpu.utils.config import Config
+
+__all__ = [
+    "TrainState", "build_models", "init_state", "make_loss_fn",
+    "make_train_step", "make_eval_fn", "make_optimizer",
+]
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    key: jnp.ndarray
+
+
+def build_models(cfg: Config, lres_shape: Tuple[int, int, int]
+                 ) -> Tuple[UNet3d, ImNet]:
+    dtype = jnp.bfloat16 if cfg.model.use_bf16 else jnp.float32
+    unet = UNet3d(
+        in_features=cfg.model.in_channels,
+        out_features=cfg.model.lat_dims,
+        igres=tuple(lres_shape),
+        nf=cfg.model.unet_nf,
+        mf=cfg.model.unet_mf,
+        negative_slope=cfg.model.negative_slope,
+        dtype=dtype,
+    )
+    imnet = ImNet(
+        dim=3,
+        in_features=cfg.model.lat_dims,
+        out_features=cfg.model.out_channels,
+        nf=cfg.model.imnet_nf,
+        negative_slope=cfg.model.negative_slope,
+        dtype=dtype,
+    )
+    return unet, imnet
+
+
+def make_optimizer(cfg: Config, steps_per_epoch: int = 1000
+                   ) -> optax.GradientTransformation:
+    if cfg.train.lr_schedule == "cosine":
+        sched = optax.cosine_decay_schedule(
+            cfg.train.lr, cfg.train.epochs * steps_per_epoch)
+    else:
+        sched = cfg.train.lr
+    tx = optax.adam(sched)
+    if cfg.train.clip_grad and cfg.train.clip_grad > 0:
+        tx = optax.chain(optax.clip_by_global_norm(cfg.train.clip_grad), tx)
+    return tx
+
+
+def init_state(key, cfg: Config, unet: UNet3d, imnet: ImNet,
+               tx: optax.GradientTransformation) -> TrainState:
+    k1, k2, k3 = jax.random.split(key, 3)
+    t, z, x = unet.igres
+    lres = jnp.zeros((1, t, z, x, cfg.model.in_channels))
+    coords = jnp.zeros((1, 3 + cfg.model.lat_dims))
+    params = {
+        "unet": unet.init(k1, lres)["params"],
+        "imnet": imnet.init(k2, coords)["params"],
+    }
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=tx.init(params),
+        key=k3,
+    )
+
+
+def _reg_loss(kind: str, pred, target):
+    err = pred - target
+    if kind == "l1":
+        return jnp.mean(jnp.abs(err))
+    if kind == "l2":
+        return jnp.mean(jnp.square(err))
+    if kind == "huber":
+        return jnp.mean(optax.losses.huber_loss(pred, target, delta=1.0))
+    raise ValueError(f"unknown reg_loss_type {kind!r}")
+
+
+def make_forward_fn(unet: UNet3d, imnet: ImNet,
+                    query_fn: Optional[Callable] = None):
+    """Returns fwd(params, lres, coords) -> predicted fields at coords.
+
+    query_fn overrides the LIG query implementation (e.g. the fused
+    Pallas kernel); default is the pure-jnp path.
+    """
+    query = query_fn or query_local_implicit_grid
+
+    def forward(params, lres, coords):
+        latent = unet.apply({"params": params["unet"]}, lres)
+        decoder = lambda v: imnet.apply({"params": params["imnet"]}, v)
+        return query(decoder, latent, coords)
+
+    return forward
+
+
+def make_loss_fn(cfg: Config, unet: UNet3d, imnet: ImNet,
+                 pde_layer: Optional[PDELayer],
+                 query_fn: Optional[Callable] = None):
+    """loss_fn(params, batch) -> (loss, metrics dict).
+
+    batch: lres [B,t,z,x,C], point_coord [B,N,3], point_value [B,N,V].
+    The PDE residuals are evaluated at the same sampled points
+    (reference behavior), re-using one encoder pass.
+    """
+    forward = make_forward_fn(unet, imnet, query_fn)
+    alpha = cfg.train.alpha_pde
+    kind = cfg.train.reg_loss_type
+
+    def loss_fn(params, batch):
+        lres = batch["lres"]
+        coords = batch["point_coord"]
+        target = batch["point_value"]
+
+        latent = unet.apply({"params": params["unet"]}, lres)
+        decoder = lambda v: imnet.apply({"params": params["imnet"]}, v)
+        query = query_fn or query_local_implicit_grid
+        fwd = lambda pts: query(decoder, latent, pts)
+
+        pred = fwd(coords)
+        reg = _reg_loss(kind, pred, target)
+        metrics = {"reg_loss": reg}
+
+        if pde_layer is not None and alpha > 0:
+            pde_total, per_eq = pde_layer.residual_loss(coords, fwd=fwd)
+            metrics["pde_loss"] = pde_total
+            for n, v in per_eq.items():
+                metrics[f"pde/{n}"] = v
+            loss = reg + alpha * pde_total
+        else:
+            loss = reg
+        metrics["loss"] = loss
+        return loss, metrics
+
+    return loss_fn
+
+
+def make_train_step(loss_fn, tx: optax.GradientTransformation,
+                    jit: bool = True):
+    """One optimizer step. Mesh-agnostic; see parallel.dp for shard_map."""
+
+    def step(state: TrainState, batch) -> Tuple[TrainState, Dict]:
+        (_, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, batch)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            step=state.step + 1, params=params, opt_state=opt_state,
+            key=state.key)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return new_state, metrics
+
+    if jit:
+        step = jax.jit(step, donate_argnums=(0,))
+    return step
+
+
+def make_eval_fn(cfg: Config, unet: UNet3d, imnet: ImNet,
+                 query_fn: Optional[Callable] = None, jit: bool = True):
+    """Relative-L2 of predictions vs point ground truth (the paper's
+    SR quality metric, computed on held-out crops)."""
+    forward = make_forward_fn(unet, imnet, query_fn)
+
+    def eval_fn(params, batch):
+        pred = forward(params, batch["lres"], batch["point_coord"])
+        target = batch["point_value"]
+        num = jnp.sqrt(jnp.sum(jnp.square(pred - target)))
+        den = jnp.sqrt(jnp.sum(jnp.square(target))) + 1e-12
+        per_ch_num = jnp.sqrt(jnp.sum(jnp.square(pred - target), (0, 1)))
+        per_ch_den = jnp.sqrt(jnp.sum(jnp.square(target), (0, 1))) + 1e-12
+        return {"rel_l2": num / den,
+                "rel_l2_per_channel": per_ch_num / per_ch_den}
+
+    return jax.jit(eval_fn) if jit else eval_fn

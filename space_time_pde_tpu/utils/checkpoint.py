@@ -1,0 +1,79 @@
+"""Checkpoint / resume via orbax.
+
+TPU-native equivalent of the reference's ``save_checkpoint`` helper
+(``torch.save({epoch, model.state_dict, optimizer.state_dict, ...})``
+with ``--resume`` restore): an orbax ``CheckpointManager`` with a keep-N
+policy saving the full training pytree — params, optimizer state, step,
+PRNG key — plus the config and normalization stats, so a restore
+resumes step-exact with identically-sharded state.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from space_time_pde_tpu.train.trainer import TrainState
+
+__all__ = ["CheckpointManager"]
+
+
+class CheckpointManager:
+    def __init__(self, directory: str, keep: int = 3):
+        directory = os.path.abspath(directory)
+        os.makedirs(directory, exist_ok=True)
+        self._mngr = ocp.CheckpointManager(
+            directory,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=keep, create=True),
+        )
+
+    def save(self, step: int, state: TrainState,
+             extra: Optional[Dict[str, Any]] = None) -> None:
+        payload = {
+            "step": state.step,
+            "params": state.params,
+            "opt_state": state.opt_state,
+            "key": state.key,
+        }
+        extra_json = jax.tree.map(
+            lambda v: v.tolist() if isinstance(v, (np.ndarray, jax.Array))
+            else v, extra or {})
+        self._mngr.save(step, args=ocp.args.Composite(
+            state=ocp.args.StandardSave(payload),
+            extra=ocp.args.JsonSave(extra_json)))
+        self._mngr.wait_until_finished()
+
+    def latest_step(self) -> Optional[int]:
+        return self._mngr.latest_step()
+
+    def restore(self, template_state: Optional[TrainState] = None,
+                step: Optional[int] = None
+                ) -> Tuple[TrainState, Dict[str, Any]]:
+        """Restore; with a template, arrays adopt its dtypes/structure."""
+        step = step if step is not None else self._mngr.latest_step()
+        if step is None:
+            raise FileNotFoundError("no checkpoint found")
+        if template_state is not None:
+            template = {
+                "step": template_state.step,
+                "params": template_state.params,
+                "opt_state": template_state.opt_state,
+                "key": template_state.key,
+            }
+            restored = self._mngr.restore(step, args=ocp.args.Composite(
+                state=ocp.args.StandardRestore(template),
+                extra=ocp.args.JsonRestore()))
+        else:
+            restored = self._mngr.restore(step)
+        s = restored["state"]
+        state = TrainState(step=s["step"], params=s["params"],
+                           opt_state=s["opt_state"], key=s["key"])
+        return state, restored.get("extra") or {}
+
+    def close(self) -> None:
+        self._mngr.close()
