@@ -1,0 +1,161 @@
+"""RB2D evaluation / inference driver (CLI).
+
+TPU-native equivalent of the reference's
+``experiments/rb2d/evaluation.py``: load a checkpoint, encode a low-res
+input sequence once, query the implicit field on a dense high-res
+space-time lattice in memory-bounded chunks (the jitted chunk query is
+the north-star throughput path), save an ``.npz`` of the predicted
+fields, optionally render comparison frames (matplotlib), and report
+rel-L2 errors vs the ground truth.
+
+Example:
+    python experiments/rb2d/evaluation.py \
+        --ckpt ./log/checkpoints --data_folder ./data \
+        --eval_data rb2d_ra1e6_s42.npz --eval_t0 0 \
+        --save_path ./log/eval_pred.npz --render_frames 4
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+from space_time_pde_tpu.utils.platform import maybe_force_platform
+maybe_force_platform()
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from space_time_pde_tpu.data import RB2DataLoader
+from space_time_pde_tpu.models import query_local_implicit_grid
+from space_time_pde_tpu.train import build_models, init_state
+from space_time_pde_tpu.train.trainer import make_optimizer
+from space_time_pde_tpu.utils.checkpoint import CheckpointManager
+from space_time_pde_tpu.utils.config import Config, add_args
+
+
+def dense_query(unet, imnet, params, lres, out_shape, chunk=65536):
+    """Encode once, decode a [T,Z,X] lattice in chunks -> [T,Z,X,4]."""
+    latent = jax.jit(
+        lambda p, x: unet.apply({"params": p}, x))(params["unet"],
+                                                   lres[None])
+
+    @jax.jit
+    def query_chunk(p, pts):
+        return query_local_implicit_grid(
+            lambda v: imnet.apply({"params": p}, v), latent, pts)
+
+    T, Z, X = out_shape
+    axes = [np.linspace(0, 1, n, dtype=np.float32) for n in (T, Z, X)]
+    TT, ZZ, XX = np.meshgrid(*axes, indexing="ij")
+    pts = np.stack([TT, ZZ, XX], -1).reshape(-1, 3)
+    n = pts.shape[0]
+    pad = (-n) % chunk
+    pts = np.pad(pts, ((0, pad), (0, 0)))
+    outs = []
+    for i in range(0, pts.shape[0], chunk):
+        out = query_chunk(params["imnet"], jnp.asarray(pts[None, i:i + chunk]))
+        outs.append(np.asarray(out[0]))
+    pred = np.concatenate(outs)[:n]
+    return pred.reshape(T, Z, X, -1)
+
+
+def main():
+    parser = argparse.ArgumentParser(description=__doc__)
+    add_args(parser)
+    parser.add_argument("--ckpt", type=str, required=True,
+                        help="checkpoint directory (orbax)")
+    parser.add_argument("--eval_t0", type=int, default=0,
+                        help="start frame of the eval window")
+    parser.add_argument("--eval_nt", type=int, default=0,
+                        help="frames in the eval window (0 = --nt)")
+    parser.add_argument("--save_path", type=str, default="eval_pred.npz")
+    parser.add_argument("--render_frames", type=int, default=0,
+                        help="render N comparison frames as PNG")
+    parser.add_argument("--query_chunk", type=int, default=65536)
+    args = parser.parse_args()
+
+    mngr = CheckpointManager(args.ckpt)
+    raw_state, extra = mngr.restore()
+    cfg = Config.from_dict(extra["config"]) if "config" in extra else None
+    if cfg is None:
+        raise RuntimeError("checkpoint has no config metadata")
+    # CLI data flags override the checkpointed data config.
+    for flag in ("data_folder", "eval_data", "nt", "nz", "nx",
+                 "downsamp_t", "downsamp_xz", "lres_filter", "lres_interp"):
+        v = getattr(args, flag, None)
+        if v is not None and v != parser.get_default(flag):
+            setattr(cfg.data, flag, v)
+
+    ds = RB2DataLoader(
+        data_folder=cfg.data.data_folder, data_filename=cfg.data.eval_data,
+        nt=cfg.data.nt, nz=cfg.data.nz, nx=cfg.data.nx,
+        downsamp_t=cfg.data.downsamp_t, downsamp_xz=cfg.data.downsamp_xz,
+        normalize_output=cfg.data.normalize_channels,
+        lres_filter=cfg.data.lres_filter, lres_interp=cfg.data.lres_interp)
+    if "channel_mean" in extra:
+        ds.channel_mean = np.asarray(extra["channel_mean"], np.float32)
+        ds.channel_std = np.asarray(extra["channel_std"], np.float32)
+
+    eval_nt = args.eval_nt or cfg.data.nt
+    lres = jnp.asarray(ds.full_lres_sequence(args.eval_t0, eval_nt))
+    unet, imnet = build_models(cfg, lres.shape[:3])
+    tx = make_optimizer(cfg)
+    template = init_state(jax.random.PRNGKey(0), cfg, unet, imnet, tx)
+    state, _ = mngr.restore(template)
+    print(f"restored step {int(state.step)}; lres {lres.shape}")
+
+    T_hi = eval_nt
+    Z_hi, X_hi = ds.data.shape[1], ds.data.shape[2]
+    pred_n = dense_query(unet, imnet, state.params, lres,
+                         (T_hi, Z_hi, X_hi), chunk=args.query_chunk)
+    pred = pred_n * ds.channel_std + ds.channel_mean          # denormalize
+
+    gt = ds.data[args.eval_t0:args.eval_t0 + eval_nt]
+    rel_l2 = np.linalg.norm(pred - gt) / (np.linalg.norm(gt) + 1e-12)
+    per_ch = [
+        float(np.linalg.norm(pred[..., c] - gt[..., c]) /
+              (np.linalg.norm(gt[..., c]) + 1e-12))
+        for c in range(4)]
+    print(f"rel_l2 = {rel_l2:.5f}  per-channel (p,b,u,w) = "
+          + " ".join(f"{v:.5f}" for v in per_ch))
+
+    os.makedirs(os.path.dirname(os.path.abspath(args.save_path)),
+                exist_ok=True)
+    np.savez_compressed(
+        args.save_path,
+        p=pred[..., 0], b=pred[..., 1], u=pred[..., 2], w=pred[..., 3],
+        rel_l2=rel_l2, rel_l2_per_channel=np.asarray(per_ch))
+    print(f"saved predictions to {args.save_path}")
+
+    if args.render_frames > 0:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        out_dir = os.path.splitext(args.save_path)[0] + "_frames"
+        os.makedirs(out_dir, exist_ok=True)
+        idxs = np.linspace(0, eval_nt - 1, args.render_frames).astype(int)
+        names = ["p", "b", "u", "w"]
+        for fi in idxs:
+            fig, axes = plt.subplots(4, 2, figsize=(10, 12))
+            for c in range(4):
+                for j, (field, title) in enumerate(
+                        ((gt, "ground truth"), (pred, "prediction"))):
+                    ax = axes[c, j]
+                    im = ax.imshow(field[fi, :, :, c], origin="lower",
+                                   aspect="auto", cmap="RdBu_r")
+                    ax.set_title(f"{names[c]} {title} (t={fi})")
+                    fig.colorbar(im, ax=ax)
+            fig.tight_layout()
+            fig.savefig(os.path.join(out_dir, f"frame_{fi:04d}.png"),
+                        dpi=80)
+            plt.close(fig)
+        print(f"rendered {len(idxs)} frames to {out_dir}")
+    mngr.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,155 @@
+"""RB2D training driver (CLI).
+
+TPU-native equivalent of the reference's ``experiments/rb2d/train.py``:
+same flag surface (see utils/config.py — ``--epochs
+--batch_size_per_gpu --lr --data_folder --train_data --eval_data --nt
+--nx --nz --downsamp_t --downsamp_xz --n_samp_pts_per_crop --alpha_pde
+--lat_dims --unet_nf --imnet_nf --reg_loss_type --clip_grad
+--lres_filter --lres_interp --log_dir --resume --pseudo_epoch_size
+--normalize_channels``), but the step is one jitted XLA graph and
+multi-device scaling is shard_map data-parallelism over a JAX mesh
+(psum gradient sync over ICI) instead of ``nn.DataParallel``.
+
+Example:
+    python experiments/rb2d/train.py --data_folder ./data \
+        --train_data rb2d_ra1e6_s42.npz --epochs 100 --alpha_pde 0.1
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+from space_time_pde_tpu.utils.platform import maybe_force_platform
+maybe_force_platform()
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from space_time_pde_tpu.data import RB2DataLoader
+from space_time_pde_tpu.physics import get_rb2_pde_layer
+from space_time_pde_tpu.train import (
+    build_models, init_state, make_eval_fn, make_loss_fn, make_train_step,
+)
+from space_time_pde_tpu.train.trainer import make_optimizer
+from space_time_pde_tpu.parallel import make_dp_train_step, replicate_state
+from space_time_pde_tpu.utils import MetricsLogger, add_args, config_from_args
+from space_time_pde_tpu.utils.checkpoint import CheckpointManager
+
+
+def main():
+    parser = argparse.ArgumentParser(description=__doc__)
+    add_args(parser)
+    cfg = config_from_args(parser.parse_args())
+
+    ndev = cfg.train.num_devices or jax.local_device_count()
+    print(f"devices: {jax.devices()}; using {ndev} for data parallelism")
+
+    ds = RB2DataLoader(
+        data_folder=cfg.data.data_folder,
+        data_filename=cfg.data.train_data,
+        nt=cfg.data.nt, nz=cfg.data.nz, nx=cfg.data.nx,
+        n_samp_pts_per_crop=cfg.data.n_samp_pts_per_crop,
+        downsamp_t=cfg.data.downsamp_t, downsamp_xz=cfg.data.downsamp_xz,
+        normalize_output=cfg.data.normalize_channels,
+        lres_filter=cfg.data.lres_filter,
+        lres_interp=cfg.data.lres_interp)
+    eval_ds = RB2DataLoader(
+        data_folder=cfg.data.data_folder,
+        data_filename=cfg.data.eval_data,
+        nt=cfg.data.nt, nz=cfg.data.nz, nx=cfg.data.nx,
+        n_samp_pts_per_crop=cfg.data.n_samp_pts_per_crop,
+        downsamp_t=cfg.data.downsamp_t, downsamp_xz=cfg.data.downsamp_xz,
+        normalize_output=cfg.data.normalize_channels,
+        lres_filter=cfg.data.lres_filter,
+        lres_interp=cfg.data.lres_interp)
+    # Share train-set statistics with the eval set (reference behavior).
+    eval_ds.channel_mean = ds.channel_mean
+    eval_ds.channel_std = ds.channel_std
+
+    unet, imnet = build_models(cfg, ds.lres_shape)
+    et, ez, ex = ds.coord_extents
+    pde_layer = get_rb2_pde_layer(
+        mean=ds.channel_mean, std=ds.channel_std,
+        t_crop=et, z_crop=ez, x_crop=ex,
+        rayleigh=cfg.physics.rayleigh, prandtl=cfg.physics.prandtl,
+    ) if cfg.train.alpha_pde > 0 else None
+
+    batch_per_step = cfg.train.batch_size_per_gpu * ndev
+    steps_per_epoch = max(1, cfg.train.pseudo_epoch_size // batch_per_step)
+    tx = make_optimizer(cfg, steps_per_epoch)
+    state = init_state(jax.random.PRNGKey(cfg.train.seed), cfg, unet,
+                       imnet, tx)
+    loss_fn = make_loss_fn(cfg, unet, imnet, pde_layer)
+    if ndev > 1:
+        step_fn, mesh = make_dp_train_step(loss_fn, tx, ndev)
+        state = replicate_state(state, mesh)
+    else:
+        step_fn = make_train_step(loss_fn, tx)
+    eval_fn = make_eval_fn(cfg, unet, imnet)
+
+    ckpt_dir = os.path.join(cfg.train.log_dir, "checkpoints")
+    mngr = CheckpointManager(ckpt_dir, keep=cfg.train.keep_checkpoints)
+    start_epoch = 0
+    if cfg.train.resume:
+        rmngr = (mngr if os.path.abspath(cfg.train.resume) ==
+                 os.path.abspath(ckpt_dir)
+                 else CheckpointManager(cfg.train.resume))
+        state, extra = rmngr.restore(state)
+        start_epoch = int(extra.get("epoch", 0)) + 1
+        print(f"resumed from step {int(state.step)} (epoch {start_epoch})")
+
+    logger = MetricsLogger(cfg.train.log_dir)
+    rng = np.random.RandomState(cfg.train.seed)
+    eval_rng = np.random.RandomState(cfg.train.seed + 1)
+    eval_batch = {k: jnp.asarray(v) for k, v in
+                  eval_ds.sample_batch(eval_rng, batch_per_step).items()}
+
+    best_eval = float("inf")
+    for epoch in range(start_epoch, cfg.train.epochs):
+        t0 = time.time()
+        for _ in range(steps_per_epoch):
+            batch = {k: jnp.asarray(v) for k, v in
+                     ds.sample_batch(rng, batch_per_step).items()}
+            state, metrics = step_fn(state, batch)
+        metrics = {k: float(v) for k, v in metrics.items()}
+        step_now = int(jax.device_get(state.step).max()) if hasattr(
+            state.step, "max") else int(state.step)
+        sec_per_step = (time.time() - t0) / steps_per_epoch
+        metrics["sec_per_step"] = sec_per_step
+        metrics["pts_per_sec"] = (batch_per_step *
+                                  cfg.data.n_samp_pts_per_crop /
+                                  sec_per_step)
+        logger.log(step_now, metrics, prefix="train/")
+
+        em = {k: float(np.asarray(v).mean()) if np.ndim(v) == 0 else 0.0
+              for k, v in eval_fn(
+                  jax.tree.map(lambda x: x, state.params),
+                  eval_batch).items() if np.ndim(v) == 0}
+        logger.log(step_now, em, prefix="eval/")
+        print(f"epoch {epoch}: loss={metrics.get('loss', 0):.5f} "
+              f"reg={metrics.get('reg_loss', 0):.5f} "
+              f"pde={metrics.get('pde_loss', 0):.5f} "
+              f"eval_rel_l2={em.get('rel_l2', 0):.5f} "
+              f"({sec_per_step:.3f}s/step)", flush=True)
+
+        if (epoch + 1) % cfg.train.ckpt_every_epochs == 0 or \
+                em.get("rel_l2", 1e9) < best_eval:
+            best_eval = min(best_eval, em.get("rel_l2", 1e9))
+            mngr.save(step_now, state, extra={
+                "config": cfg.to_dict(),
+                "epoch": epoch,
+                "channel_mean": np.asarray(ds.channel_mean),
+                "channel_std": np.asarray(ds.channel_std),
+                "coord_extents": np.asarray(ds.coord_extents),
+                "best_eval": float(best_eval),
+            })
+    logger.close()
+    mngr.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,10 @@
+from space_time_pde_tpu.parallel.dp import (
+    make_dp_train_step,
+    make_mesh,
+    replicate_state,
+    shard_batch,
+)
+
+__all__ = [
+    "make_dp_train_step", "make_mesh", "replicate_state", "shard_batch",
+]

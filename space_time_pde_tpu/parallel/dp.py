@@ -1,0 +1,86 @@
+"""Data parallelism: shard_map over a device mesh with psum grad sync.
+
+TPU-native replacement for the reference's ``torch.nn.DataParallel``
+(single-process replicate/scatter/gather in ``experiments/rb2d/
+train.py``): the SAME jitted train step runs on a 1-D ``Mesh('data')``
+of any size — each device holds a batch shard, gradients and metrics
+are averaged with ``jax.lax.pmean`` (an XLA all-reduce that rides ICI
+on a TPU slice), and parameters/optimizer state stay replicated, so
+every device applies an identical update. Multi-host extends this by
+calling ``jax.distributed.initialize`` before mesh construction —
+no code changes (XLA routes inter-slice collectives over DCN).
+
+Tested on a virtual 8-device CPU mesh
+(``jax.config.jax_num_cpu_devices``); identical code runs on v5e-8+.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from space_time_pde_tpu.train.trainer import TrainState
+
+__all__ = ["make_mesh", "make_dp_train_step", "replicate_state",
+           "shard_batch"]
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.asarray(devs[:n]), (axis,))
+
+
+def replicate_state(state: TrainState, mesh: Mesh) -> TrainState:
+    """Place every state leaf replicated across the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), state)
+
+
+def shard_batch(batch: Dict[str, jnp.ndarray], mesh: Mesh,
+                axis: str = "data") -> Dict[str, jnp.ndarray]:
+    """Shard each batch array along its leading (batch) axis."""
+    sharding = NamedSharding(mesh, P(axis))
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def make_dp_train_step(loss_fn, tx: optax.GradientTransformation,
+                       n_devices: Optional[int] = None,
+                       axis: str = "data"):
+    """Build (jitted shard_map step, mesh).
+
+    step(state, batch): state replicated, batch sharded on axis 0;
+    returns (new replicated state, pmean'd metrics). The global batch
+    size must be divisible by the mesh size.
+    """
+    mesh = make_mesh(n_devices, axis)
+
+    def shard_step(state: TrainState, batch):
+        (_, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, batch)
+        grads = jax.lax.pmean(grads, axis)
+        metrics = jax.lax.pmean(metrics, axis)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(step=state.step + 1, params=params,
+                               opt_state=opt_state, key=state.key)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return new_state, metrics
+
+    mapped = jax.shard_map(
+        shard_step, mesh=mesh,
+        in_specs=(P(), P(axis)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def step(state: TrainState, batch):
+        return mapped(state, batch)
+
+    return step, mesh
