@@ -1,0 +1,114 @@
+"""North-star benchmark: query points/sec/chip on the flagship model.
+
+Measures the continuous-decoding hot path (the reference's
+``evaluation.py`` dense-query loop and the training query/blend stack):
+latent-grid gather + 8x ImNet MLP + multilinear blend per point, at
+BASELINE.json config #3 scale (wide ImNet nf=32, lat_dims=32, 32k query
+points per step, bf16 on TPU).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+vs_baseline is relative to the reference-on-V100 estimate of 1.0e6
+query points/sec (see BASELINE.md: the reference publishes no numbers;
+estimate = V100 f32 effective FLOPs / ImNet FLOPs-per-point for the
+unfused 8x-materializing torch path). North star: >= 5x.
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REFERENCE_V100_PTS_PER_SEC = 1.0e6
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from space_time_pde_tpu.train import build_models
+    from space_time_pde_tpu.utils.config import Config
+
+    on_tpu = jax.devices()[0].platform != "cpu"
+
+    cfg = Config()
+    cfg.model.lat_dims = 32
+    cfg.model.imnet_nf = 32
+    cfg.model.unet_nf = 16
+    cfg.model.use_bf16 = bool(on_tpu)
+
+    # Eval-scale latent grid (full-width low-res sequence) + 32k points.
+    lres_shape = (8, 16, 64)
+    n_pts = 32768
+    unet, imnet = build_models(cfg, lres_shape)
+
+    key = jax.random.PRNGKey(0)
+    latent = jax.random.normal(
+        key, (1, *lres_shape, cfg.model.lat_dims), jnp.float32)
+    coords = jax.random.uniform(key, (1, n_pts, 3), jnp.float32)
+    params = imnet.init(
+        key, jnp.zeros((1, 3 + cfg.model.lat_dims)))["params"]
+
+    from space_time_pde_tpu.models import query_local_implicit_grid
+    query_fn = query_local_implicit_grid
+    kernel = "jnp"
+    if on_tpu and cfg.model.fused_query:
+        try:
+            from space_time_pde_tpu.ops.fused_query import (
+                make_fused_query_fn,
+            )
+            query_fn = make_fused_query_fn(imnet)
+            kernel = "pallas"
+        except ImportError:
+            pass
+
+    # Chain K query steps on-device inside one jit (lax.scan) and fetch
+    # a scalar once: per-call host round-trips through the remote TPU
+    # tunnel would otherwise dominate, and the experimental plugin's
+    # block_until_ready alone under-synchronizes (measured both ways).
+    K = 50
+
+    @jax.jit
+    def run_k(params, latent, coords):
+        def body(carry, i):
+            c = jnp.clip(coords + carry * 1e-6, 0.0, 1.0)
+            out = query_fn(
+                lambda v: imnet.apply({"params": params}, v), latent, c)
+            return out.mean(), None
+        carry, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(K))
+        return carry
+
+    # float() host-fetches the scalar — the only reliable sync point on
+    # the experimental remote plugin (block_until_ready returns early).
+    import time
+
+    out = float(run_k(params, latent, coords))  # compile + warm
+    assert jnp.isfinite(out), "non-finite benchmark output"
+    iters = 3
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        float(run_k(params, latent, coords))
+    sec = (time.perf_counter() - t0) / iters / K
+    pts_per_sec = n_pts / sec
+
+    print(json.dumps({
+        "metric": "query_points_per_sec_per_chip",
+        "value": round(pts_per_sec, 1),
+        "unit": "points/s",
+        "vs_baseline": round(pts_per_sec / REFERENCE_V100_PTS_PER_SEC, 3),
+        "detail": {
+            "device": str(jax.devices()[0]),
+            "kernel": kernel,
+            "bf16": cfg.model.use_bf16,
+            "n_pts_per_step": n_pts,
+            "latent_grid": list(lres_shape) + [cfg.model.lat_dims],
+            "imnet_nf": cfg.model.imnet_nf,
+            "sec_per_step": sec,
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()
