@@ -52,17 +52,18 @@ def main():
         key, jnp.zeros((1, 3 + cfg.model.lat_dims)))["params"]
 
     from space_time_pde_tpu.models import query_local_implicit_grid
-    query_fn = query_local_implicit_grid
-    kernel = "jnp"
     if on_tpu and cfg.model.fused_query:
-        try:
-            from space_time_pde_tpu.ops.fused_query import (
-                make_fused_query_fn,
-            )
-            query_fn = make_fused_query_fn(imnet)
-            kernel = "pallas"
-        except ImportError:
-            pass
+        from space_time_pde_tpu.ops.fused_query import (
+            fused_query_local_implicit_grid,
+        )
+        query_fn = (lambda p, latent, pts:
+                    fused_query_local_implicit_grid(
+                        imnet, p, latent, pts, block_pts=256, pad_to=0))
+        kernel = "pallas-fused"
+    else:
+        query_fn = (lambda p, latent, pts: query_local_implicit_grid(
+            lambda v: imnet.apply({"params": p}, v), latent, pts))
+        kernel = "jnp"
 
     # Chain K query steps on-device inside one jit (lax.scan) and fetch
     # a scalar once: per-call host round-trips through the remote TPU
@@ -74,8 +75,7 @@ def main():
     def run_k(params, latent, coords):
         def body(carry, i):
             c = jnp.clip(coords + carry * 1e-6, 0.0, 1.0)
-            out = query_fn(
-                lambda v: imnet.apply({"params": params}, v), latent, c)
+            out = query_fn(params, latent, c)
             return out.mean(), None
         carry, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(K))
         return carry

@@ -36,16 +36,33 @@ from space_time_pde_tpu.utils.checkpoint import CheckpointManager
 from space_time_pde_tpu.utils.config import Config, add_args
 
 
-def dense_query(unet, imnet, params, lres, out_shape, chunk=65536):
-    """Encode once, decode a [T,Z,X] lattice in chunks -> [T,Z,X,4]."""
+def dense_query(unet, imnet, params, lres, out_shape, chunk=65536,
+                fused=None):
+    """Encode once, decode a [T,Z,X] lattice in chunks -> [T,Z,X,4].
+
+    fused=None auto-selects the Pallas fused kernel on TPU (the
+    north-star throughput path) and the jnp path elsewhere.
+    """
     latent = jax.jit(
         lambda p, x: unet.apply({"params": p}, x))(params["unet"],
                                                    lres[None])
+    if fused is None:
+        fused = jax.devices()[0].platform != "cpu"
 
-    @jax.jit
-    def query_chunk(p, pts):
-        return query_local_implicit_grid(
-            lambda v: imnet.apply({"params": p}, v), latent, pts)
+    if fused:
+        from space_time_pde_tpu.ops.fused_query import (
+            fused_query_local_implicit_grid,
+        )
+
+        @jax.jit
+        def query_chunk(p, pts):
+            return fused_query_local_implicit_grid(
+                imnet, p, latent, pts, block_pts=256, pad_to=0)
+    else:
+        @jax.jit
+        def query_chunk(p, pts):
+            return query_local_implicit_grid(
+                lambda v: imnet.apply({"params": p}, v), latent, pts)
 
     T, Z, X = out_shape
     axes = [np.linspace(0, 1, n, dtype=np.float32) for n in (T, Z, X)]

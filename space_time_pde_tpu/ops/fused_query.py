@@ -1,0 +1,271 @@
+"""Fused Pallas TPU kernel for the local-implicit-grid decode hot loop.
+
+The reference's hottest path (``src/local_implicit_grid.py``: 8 ImNet
+MLP evaluations + multilinear blend per query point) has two TPU
+bottlenecks when composed from stock ops:
+
+1. the corner gather: 2**D random 128-byte row reads per point — far
+   below the HBM access granularity sweet spot (measured ~60x off
+   bandwidth, as slow as the entire MLP);
+2. per-corner hidden activations spilling to HBM (at 32k points the
+   first hidden layer alone is 32k x 8 x 512 values per step).
+
+This module fixes both:
+
+- **cell-major pre-gather**: the latent grid is re-laid-out once per
+  grid as ``cell_feats[n_cells, 8*C]`` via 8 *structured* shifted-slice
+  copies (sequential HBM traffic). Each query point then gathers ONE
+  contiguous ~1 KB row — 8x fewer random accesses at 8x the
+  granularity. The reshape ``[N, 8C] -> [N*8, C]`` is a free row-major
+  view.
+
+- **fused decode+blend Pallas kernel** keeping ALL activations in VMEM:
+    per block of NB points (R = NB*8 corner rows):
+    1. xs = feats @ Wx_feat + rel @ Wx_rel + b_all     [R, 31*nf]
+       — the IM-NET "input re-concatenated into every hidden layer"
+       topology means each layer's pre-activation is
+       h @ Wh_i + x @ Wx_i + b_i; all five x-projections fuse into
+       MXU matmuls whose output is sliced per layer;
+    2. h <- leaky_relu(h @ Wh_i + xs_slice_i)  (f32 accumulate, bf16
+       operands on TPU);
+    3. blend BEFORE the output layer: the final layer is linear and the
+       multilinear weights sum to 1, so
+       sum_k w_k (h_k @ W5 + b5) == (sum_k w_k h_k) @ W5 + b5.
+
+The pure-jnp path (models/local_implicit_grid.py) remains the parity
+oracle and the differentiable training path; this kernel is the
+inference/eval fast path (custom VJP comes later).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from space_time_pde_tpu.ops.grid_interp import _locate, corner_offsets
+
+__all__ = [
+    "pack_imnet_params",
+    "cell_major_features",
+    "fused_decode_blend",
+    "fused_query_local_implicit_grid",
+]
+
+_MULTS = (16, 8, 4, 2, 1)
+
+
+def _padded_widths(nf: int, pad_to: int) -> list:
+    return [max(nf * m, ((nf * m + pad_to - 1) // pad_to) * pad_to)
+            if pad_to else nf * m for m in _MULTS]
+
+
+def pack_imnet_params(params: Dict[str, Any], dim: int, in_features: int,
+                      nf: int, dtype=jnp.bfloat16,
+                      pad_to: int = 0) -> Dict[str, jnp.ndarray]:
+    """Repack flax ImNet params for the fused kernel.
+
+    ImNet layer i>=1 consumes concat([h, x]) so its kernel rows split as
+    [prev_width rows of Wh | din rows of Wx]; the Wx block further
+    splits into coordinate rows (first ``dim``) and latent rows. With
+    ``pad_to`` (128 on TPU), every hidden width is zero-padded up to a
+    lane-aligned multiple: padded bias/weight columns are zero, so the
+    extra lanes carry exact zeros through leaky_relu and multiply into
+    zero weight rows downstream — results are bit-identical while every
+    xs slice offset and matmul dimension is MXU/lane aligned.
+
+    Returns: wx_rel [dim, S], wx_feat [in_features, S], b_all [1, S]
+    (S = sum of padded widths), wh1..wh4, w5 [nf_pad, out], b5 [1, out].
+    """
+    widths = [nf * m for m in _MULTS]
+    pwidths = _padded_widths(nf, pad_to)
+    ks = [params[f"fc{i}"]["kernel"] for i in range(6)]
+    bs = [params[f"fc{i}"]["bias"] for i in range(6)]
+
+    def pad_cols(a, w, pw):
+        return jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, pw - w)])
+
+    wx_parts = [pad_cols(ks[0], widths[0], pwidths[0])]
+    b_parts = [pad_cols(bs[0][None], widths[0], pwidths[0])]
+    wh = []
+    prev, pprev = widths[0], pwidths[0]
+    din = dim + in_features
+    for i in range(1, 5):
+        k = ks[i]
+        assert k.shape[0] == prev + din, (k.shape, prev, din)
+        wh_i = jnp.pad(k[:prev], ((0, pprev - prev), (0, 0)))
+        wh.append(pad_cols(wh_i, widths[i], pwidths[i]).astype(dtype))
+        wx_parts.append(pad_cols(k[prev:], widths[i], pwidths[i]))
+        b_parts.append(pad_cols(bs[i][None], widths[i], pwidths[i]))
+        prev, pprev = widths[i], pwidths[i]
+    wx_all = jnp.concatenate(wx_parts, axis=1)
+    w5 = jnp.pad(ks[5], ((0, pwidths[-1] - widths[-1]), (0, 0)))
+    packed = {
+        "wx_rel": wx_all[:dim].astype(dtype),
+        "wx_feat": wx_all[dim:].astype(dtype),
+        "b_all": jnp.concatenate(b_parts, axis=1).astype(jnp.float32),
+        "w5": w5.astype(dtype),
+        "b5": bs[5][None, :].astype(jnp.float32),
+    }
+    for i, w in enumerate(wh):
+        packed[f"wh{i + 1}"] = w
+    return packed
+
+
+def cell_major_features(grid: jnp.ndarray) -> jnp.ndarray:
+    """[*spatial, C] node grid -> [n_cells, 2^D * C] cell-corner rows.
+
+    Built from 2^D structured shifted slices (sequential HBM copies, no
+    random access); corner order matches ops.grid_interp.corner_offsets.
+    """
+    spatial = grid.shape[:-1]
+    dim = len(spatial)
+    offs = corner_offsets(dim)
+    slices = []
+    for o in offs:
+        idx = tuple(slice(int(o[d]), spatial[d] - 1 + int(o[d]))
+                    for d in range(dim))
+        slices.append(grid[idx])
+    cells = jnp.stack(slices, axis=-2)          # [*cells, 2^D, C]
+    n_cells = int(np.prod([s - 1 for s in spatial]))
+    return cells.reshape(n_cells, offs.shape[0] * grid.shape[-1])
+
+
+def _kernel(feats_ref, rel_ref, w_ref, wxf_ref, wxr_ref, b_ref, wh1_ref,
+            wh2_ref, wh3_ref, wh4_ref, w5_ref, b5_ref, out_ref, *,
+            widths, n_corners: int, negative_slope: float, compute_dtype):
+    offs = np.cumsum([0] + list(widths))
+
+    def act(v):
+        return jax.nn.leaky_relu(v, negative_slope)
+
+    feats = feats_ref[:].astype(compute_dtype)              # [R, C]
+    rel = rel_ref[:].astype(compute_dtype)                  # [R, dim]
+    # Biases fold into the f32 accumulate, then the wide skip buffer is
+    # stored in compute dtype — a [R, 31*nf] f32 buffer plus its slice
+    # temporaries would exceed the ~16MB VMEM budget at block_pts=128.
+    xs = (jnp.dot(feats, wxf_ref[:], preferred_element_type=jnp.float32)
+          + jnp.dot(rel, wxr_ref[:], preferred_element_type=jnp.float32)
+          + b_ref[:]).astype(compute_dtype)
+
+    h = act(xs[:, offs[0]:offs[1]].astype(jnp.float32))
+    for i, wh_ref in enumerate((wh1_ref, wh2_ref, wh3_ref, wh4_ref)):
+        pre = jnp.dot(h.astype(compute_dtype), wh_ref[:],
+                      preferred_element_type=jnp.float32)
+        h = act(pre + xs[:, offs[i + 1]:offs[i + 2]].astype(jnp.float32))
+
+    # Multilinear blend on the narrow feature (final layer is linear).
+    nb = h.shape[0] // n_corners
+    hb = h.reshape(nb, n_corners, widths[-1])               # [NB, K, nf]
+    w = w_ref[:].astype(jnp.float32)                        # [NB, K]
+    hblend = jnp.sum(hb * w[:, :, None], axis=1)            # [NB, nf]
+    out = jnp.dot(hblend.astype(compute_dtype), w5_ref[:],
+                  preferred_element_type=jnp.float32) + b5_ref[:]
+    out_ref[:] = out.astype(out_ref.dtype)
+
+
+def fused_decode_blend(feats2, rel2, weights, packed, *, nf: int,
+                       negative_slope: float = 0.01,
+                       block_pts: int = 256,
+                       compute_dtype=jnp.bfloat16,
+                       pad_to: int = 0,
+                       interpret: bool = False) -> jnp.ndarray:
+    """feats2: [N*K, C]; rel2: [N*K, dim]; weights: [N, K] -> [N, out].
+
+    ``pad_to`` must match the value used in ``pack_imnet_params``.
+    """
+    nk, c = feats2.shape
+    n, k = weights.shape
+    assert nk == n * k, (feats2.shape, weights.shape)
+    out_dim = packed["w5"].shape[1]
+    nb = block_pts
+    n_pad = (-n) % nb
+    if n_pad:
+        feats2 = jnp.pad(feats2, ((0, n_pad * k), (0, 0)))
+        rel2 = jnp.pad(rel2, ((0, n_pad * k), (0, 0)))
+        weights = jnp.pad(weights, ((0, n_pad), (0, 0)))
+    n_tot = n + n_pad
+    grid = (n_tot // nb,)
+    r = nb * k
+    dim = rel2.shape[-1]
+
+    param_names = ["wx_feat", "wx_rel", "b_all", "wh1", "wh2", "wh3",
+                   "wh4", "w5", "b5"]
+    param_vals = [packed[p] for p in param_names]
+    mspace = pl.ANY if interpret else pltpu.VMEM
+    param_specs = [
+        pl.BlockSpec(p.shape, lambda i: (0,) * p.ndim, memory_space=mspace)
+        for p in param_vals
+    ]
+
+    kernel = functools.partial(
+        _kernel, widths=tuple(_padded_widths(nf, pad_to)), n_corners=k,
+        negative_slope=negative_slope, compute_dtype=compute_dtype)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((r, c), lambda i: (i, 0), memory_space=mspace),
+            pl.BlockSpec((r, dim), lambda i: (i, 0), memory_space=mspace),
+            pl.BlockSpec((nb, k), lambda i: (i, 0), memory_space=mspace),
+            *param_specs,
+        ],
+        out_specs=pl.BlockSpec((nb, out_dim), lambda i: (i, 0),
+                               memory_space=mspace),
+        out_shape=jax.ShapeDtypeStruct((n_tot, out_dim), jnp.float32),
+        interpret=interpret,
+    )(feats2, rel2, weights, *param_vals)
+    return out[:n]
+
+
+def fused_query_local_implicit_grid(imnet, params, latent_grid, pts,
+                                    xmin=0.0, xmax=1.0,
+                                    block_pts: int = 256,
+                                    compute_dtype=jnp.bfloat16,
+                                    pad_to: int = 128,
+                                    interpret: bool = False):
+    """Drop-in fused version of models.query_local_implicit_grid.
+
+    imnet: the ImNet module (for static dims); params: its flax params.
+    latent_grid: [B, *spatial, C]; pts: [B, N, D] -> [B, N, out].
+    """
+    packed = pack_imnet_params(
+        params, imnet.dim, imnet.in_features, imnet.nf,
+        dtype=compute_dtype, pad_to=pad_to)
+
+    def single(grid, p):
+        spatial = grid.shape[:-1]
+        dim = p.shape[-1]
+        c = grid.shape[-1]
+        n = p.shape[0]
+        k = 2 ** dim
+
+        cell_feats = cell_major_features(grid.astype(compute_dtype))
+        cell, frac = _locate(p, spatial, xmin, xmax)
+        cells_shape = [s - 1 for s in spatial]
+        strides = np.ones(dim, dtype=np.int32)
+        for a in range(dim - 2, -1, -1):
+            strides[a] = strides[a + 1] * cells_shape[a + 1]
+        cell_flat = jnp.sum(cell * jnp.asarray(strides), axis=-1)   # [N]
+        rows = jnp.take(cell_feats, cell_flat, axis=0)      # [N, K*C]
+        feats2 = rows.reshape(n * k, c)                     # free view
+
+        offs = jnp.asarray(corner_offsets(dim), frac.dtype)
+        rel = frac[:, None, :] - offs[None]                 # [N, K, dim]
+        per_axis = jnp.where(offs[None].astype(bool),
+                             frac[:, None, :], 1.0 - frac[:, None, :])
+        w = jnp.prod(per_axis, axis=-1)                     # [N, K]
+
+        return fused_decode_blend(
+            feats2, rel.reshape(n * k, dim), w, packed, nf=imnet.nf,
+            negative_slope=imnet.negative_slope,
+            block_pts=block_pts, compute_dtype=compute_dtype,
+            pad_to=pad_to, interpret=interpret)
+
+    return jax.vmap(single)(latent_grid, pts)
