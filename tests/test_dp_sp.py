@@ -1,0 +1,115 @@
+"""2-D mesh (data x space) training-step tests on the virtual CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+from jax.sharding import Mesh, PartitionSpec as P
+
+from space_time_pde_tpu.data import RB2DataLoader, save_npz, taylor_green_fields
+from space_time_pde_tpu.parallel.dp_sp import (
+    make_dp_sp_batch, make_dp_sp_train_step,
+)
+from space_time_pde_tpu.physics import get_rb2_pde_layer
+from space_time_pde_tpu.train import build_models, init_state, make_train_step
+from space_time_pde_tpu.utils.config import Config
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    d = tmp_path_factory.mktemp("data")
+    save_npz(str(d / "tg.npz"),
+             taylor_green_fields(nt=16, nz=16, nx=32, dt=0.05))
+    cfg = Config()
+    cfg.data.nt, cfg.data.nz, cfg.data.nx = 8, 16, 32
+    cfg.data.downsamp_t, cfg.data.downsamp_xz = 2, 4
+    cfg.data.n_samp_pts_per_crop = 64
+    cfg.model.lat_dims = 8
+    cfg.model.unet_nf = 8
+    cfg.model.imnet_nf = 2
+    cfg.train.reg_loss_type = "l2"
+    ds = RB2DataLoader(
+        data_folder=str(d), data_filename="tg.npz",
+        nt=8, nz=16, nx=32, n_samp_pts_per_crop=64,
+        downsamp_t=2, downsamp_xz=4)
+    unet, imnet = build_models(cfg, ds.lres_shape)  # lres x nodes = 8
+    return cfg, ds, unet, imnet
+
+
+def test_make_dp_sp_batch_routing(setup):
+    cfg, ds, unet, imnet = setup
+    batch = ds.sample_batch(np.random.RandomState(0), 4)
+    sharded = make_dp_sp_batch(batch, n_space=2, n_nodes_x=8)
+    assert sharded["point_coord"].shape[:2] == (4, 2)
+    assert sharded["point_mask"].sum() == 4 * 64
+    # Every point in shard s lies in its x half (8 nodes -> split at
+    # node 4, i.e. x = 4/7).
+    for b in range(4):
+        for s in range(2):
+            m = sharded["point_mask"][b, s].astype(bool)
+            xs = sharded["point_coord"][b, s][m][:, 2]
+            if s == 0:
+                assert np.all(xs < 4 / 7 + 1e-6)
+            else:
+                assert np.all(xs >= 4 / 7 - 1e-6)
+
+
+def test_dp_sp_step_matches_single_device(setup):
+    cfg, ds, unet, imnet = setup
+    tx = optax.sgd(1e-2)
+
+    batch = ds.sample_batch(np.random.RandomState(1), 4)
+    sharded = make_dp_sp_batch(batch, n_space=2, n_nodes_x=8)
+
+    # Single-device reference with the same masked-L2 semantics.
+    def ref_loss(params, batch):
+        latent = unet.apply({"params": params["unet"]}, batch["lres"])
+        from space_time_pde_tpu.models import query_local_implicit_grid
+        pred = query_local_implicit_grid(
+            lambda v: imnet.apply({"params": params["imnet"]}, v),
+            latent, batch["point_coord"])
+        return jnp.mean(jnp.square(pred - batch["point_value"]))
+
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    ref_val, ref_grads = jax.value_and_grad(ref_loss)(
+        init_state(jax.random.PRNGKey(0), cfg, unet, imnet, tx).params, jb)
+
+    step, mesh, place = make_dp_sp_train_step(
+        cfg, unet, imnet, None, tx, n_data=4, n_space=2)
+    state = init_state(jax.random.PRNGKey(0), cfg, unet, imnet, tx)
+    state, placed = place(state, {k: jnp.asarray(v)
+                                  for k, v in sharded.items()})
+    new_state, metrics = step(state, placed)
+
+    np.testing.assert_allclose(float(metrics["loss"]), float(ref_val),
+                               rtol=1e-4)
+    # Params after one SGD step match the single-device update.
+    ref_params = jax.tree.map(lambda p, g: p - 1e-2 * g,
+                              init_state(jax.random.PRNGKey(0), cfg, unet,
+                                         imnet, tx).params, ref_grads)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-2, atol=5e-4),
+        new_state.params, ref_params)
+
+
+def test_dp_sp_step_with_pde_loss(setup):
+    cfg, ds, unet, imnet = setup
+    cfg2 = Config.from_dict(cfg.to_dict())
+    cfg2.train.alpha_pde = 0.05
+    et, ez, ex = ds.coord_extents
+    pde = get_rb2_pde_layer(ds.channel_mean, ds.channel_std, et, ez, ex,
+                            rayleigh=1e4)
+    tx = optax.adam(1e-3)
+    step, mesh, place = make_dp_sp_train_step(
+        cfg2, unet, imnet, pde, tx, n_data=4, n_space=2)
+    state = init_state(jax.random.PRNGKey(1), cfg2, unet, imnet, tx)
+    batch = make_dp_sp_batch(
+        ds.sample_batch(np.random.RandomState(2), 4), 2, 8)
+    state, placed = place(state, {k: jnp.asarray(v)
+                                  for k, v in batch.items()})
+    state, metrics = step(state, placed)
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.isfinite(float(metrics["pde_loss"]))
+    state, _ = step(state, placed)
