@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from space_time_pde_tpu.data import RB2DataLoader
-from space_time_pde_tpu.physics import get_rb2_pde_layer
+from space_time_pde_tpu.physics.systems import get_pde_layer
 from space_time_pde_tpu.train import (
     build_models, init_state, make_eval_fn, make_loss_fn, make_train_step,
 )
@@ -72,10 +72,12 @@ def main():
 
     unet, imnet = build_models(cfg, ds.lres_shape)
     et, ez, ex = ds.coord_extents
-    pde_layer = get_rb2_pde_layer(
+    pde_layer = get_pde_layer(
+        cfg.physics.pde_system,
         mean=ds.channel_mean, std=ds.channel_std,
         t_crop=et, z_crop=ez, x_crop=ex,
         rayleigh=cfg.physics.rayleigh, prandtl=cfg.physics.prandtl,
+        viscosity=cfg.physics.viscosity,
     ) if cfg.train.alpha_pde > 0 else None
 
     batch_per_step = cfg.train.batch_size_per_gpu * ndev

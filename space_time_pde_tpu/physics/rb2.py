@@ -51,6 +51,7 @@ def get_rb2_pde_layer(
     x_crop: float = 1.0,
     prandtl: float = 1.0,
     rayleigh: float = 1e6,
+    **_,
 ) -> PDELayer:
     """Build the RB2D physics layer.
 

@@ -50,8 +50,10 @@ class DataConfig:
 
 @dataclass
 class PhysicsConfig:
+    pde_system: str = "rb2d"    # rb2d | ns2d | advection_diffusion | ...
     rayleigh: float = 1e6
     prandtl: float = 1.0
+    viscosity: float = 1e-3     # ns2d / advection_diffusion systems
     use_continuity: bool = True  # reference trains with all 4 equations
 
 
@@ -126,8 +128,10 @@ _FLAG_MAP = {
     "imnet_nf": ("model", "imnet_nf"),
     "use_bf16": ("model", "use_bf16"),
     "fused_query": ("model", "fused_query"),
+    "pde_system": ("physics", "pde_system"),
     "rayleigh": ("physics", "rayleigh"),
     "prandtl": ("physics", "prandtl"),
+    "viscosity": ("physics", "viscosity"),
 }
 
 
