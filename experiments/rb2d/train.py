@@ -45,6 +45,14 @@ def main():
     add_args(parser)
     cfg = config_from_args(parser.parse_args())
 
+    # Validate cheap config errors before touching data/devices.
+    from space_time_pde_tpu.physics.systems import available_systems
+    if cfg.train.alpha_pde > 0 and \
+            cfg.physics.pde_system not in available_systems():
+        raise SystemExit(
+            f"unknown --pde_system {cfg.physics.pde_system!r}; "
+            f"available: {available_systems()}")
+
     ndev = cfg.train.num_devices or jax.local_device_count()
     print(f"devices: {jax.devices()}; using {ndev} for data parallelism")
 
