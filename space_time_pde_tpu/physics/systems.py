@@ -21,7 +21,8 @@ from space_time_pde_tpu.physics.pde import PDELayer
 from space_time_pde_tpu.physics.rb2 import get_rb2_pde_layer
 
 __all__ = ["get_pde_layer", "register_system", "available_systems",
-           "get_ns2d_pde_layer", "get_advection_diffusion_pde_layer"]
+           "get_ns2d_pde_layer", "get_ns3d_pde_layer",
+           "get_advection_diffusion_pde_layer"]
 
 
 def get_ns2d_pde_layer(
@@ -86,9 +87,45 @@ def get_advection_diffusion_pde_layer(
     return layer
 
 
+def get_ns3d_pde_layer(
+    mean: Optional[Sequence[float]] = None,
+    std: Optional[Sequence[float]] = None,
+    t_crop: float = 1.0,
+    z_crop: float = 1.0,
+    y_crop: float = 1.0,
+    x_crop: float = 1.0,
+    viscosity: float = 1e-3,
+    **_,
+) -> PDELayer:
+    """Incompressible 3-D Navier–Stokes (p, u, v, w) over (t, z, y, x).
+
+    The 3-D-turbulence system for 4-D space-time context grids
+    (BASELINE.json config #5); pairs with models.UNet4d and the N-d
+    query path (2^4 corners).
+    """
+    nu = repr(float(viscosity))
+    layer = PDELayer(in_vars="t, z, y, x", out_vars="p, u, v, w")
+    layer.add_equation("dif(u, x) + dif(v, y) + dif(w, z) = 0",
+                       name="continuity")
+    for comp, name in (("u", "momentum_x"), ("v", "momentum_y"),
+                       ("w", "momentum_z")):
+        grad_p = {"momentum_x": "dif(p, x)", "momentum_y": "dif(p, y)",
+                  "momentum_z": "dif(p, z)"}[name]
+        layer.add_equation(
+            f"dif({comp}, t) + u*dif({comp}, x) + v*dif({comp}, y)"
+            f" + w*dif({comp}, z) + {grad_p}"
+            f" - {nu}*(dif(dif({comp}, x), x) + dif(dif({comp}, y), y)"
+            f" + dif(dif({comp}, z), z)) = 0",
+            name=name)
+    layer.set_scaling(coord_scales=(t_crop, z_crop, y_crop, x_crop),
+                      out_means=mean, out_stds=std)
+    return layer
+
+
 _REGISTRY: Dict[str, Callable[..., PDELayer]] = {
     "rb2d": get_rb2_pde_layer,
     "ns2d": get_ns2d_pde_layer,
+    "ns3d": get_ns3d_pde_layer,
     "advection_diffusion": get_advection_diffusion_pde_layer,
 }
 
