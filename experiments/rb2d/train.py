@@ -43,7 +43,12 @@ from space_time_pde_tpu.utils.checkpoint import CheckpointManager
 def main():
     parser = argparse.ArgumentParser(description=__doc__)
     add_args(parser)
-    cfg = config_from_args(parser.parse_args())
+    parser.add_argument(
+        "--profile_epoch", type=int, default=-1,
+        help="epoch to capture a jax.profiler (xprof) trace for; "
+             "written to <log_dir>/profile")
+    args = parser.parse_args()
+    cfg = config_from_args(args)
 
     # Validate cheap config errors before touching data/devices.
     from space_time_pde_tpu.physics.systems import available_systems
@@ -118,13 +123,26 @@ def main():
     eval_batch = {k: jnp.asarray(v) for k, v in
                   eval_ds.sample_batch(eval_rng, batch_per_step).items()}
 
+    # Background host thread keeps batches ready while the TPU steps
+    # (replaces the reference's DataLoader worker subprocesses).
+    from space_time_pde_tpu.data.prefetch import BatchPrefetcher
+    prefetcher = BatchPrefetcher(
+        lambda: ds.sample_batch(rng, batch_per_step), depth=4)
+
+    import contextlib
+
     best_eval = float("inf")
     for epoch in range(start_epoch, cfg.train.epochs):
+        profile_ctx = (
+            jax.profiler.trace(os.path.join(cfg.train.log_dir, "profile"))
+            if epoch == args.profile_epoch else contextlib.nullcontext())
         t0 = time.time()
-        for _ in range(steps_per_epoch):
-            batch = {k: jnp.asarray(v) for k, v in
-                     ds.sample_batch(rng, batch_per_step).items()}
-            state, metrics = step_fn(state, batch)
+        with profile_ctx:
+            for _ in range(steps_per_epoch):
+                batch = {k: jnp.asarray(v)
+                         for k, v in prefetcher.get().items()}
+                state, metrics = step_fn(state, batch)
+            jax.block_until_ready(state.params)
         metrics = {k: float(v) for k, v in metrics.items()}
         step_now = int(jax.device_get(state.step).max()) if hasattr(
             state.step, "max") else int(state.step)
@@ -157,6 +175,7 @@ def main():
                 "coord_extents": np.asarray(ds.coord_extents),
                 "best_eval": float(best_eval),
             })
+    prefetcher.close()
     logger.close()
     mngr.close()
 
