@@ -91,6 +91,8 @@ def main():
     parser.add_argument("--save_path", type=str, default="eval_pred.npz")
     parser.add_argument("--render_frames", type=int, default=0,
                         help="render N comparison frames as PNG")
+    parser.add_argument("--save_animation", type=str, default="",
+                        help="write a GT-vs-prediction GIF to this path")
     parser.add_argument("--query_chunk", type=int, default=65536)
     args = parser.parse_args()
 
@@ -146,6 +148,42 @@ def main():
         p=pred[..., 0], b=pred[..., 1], u=pred[..., 2], w=pred[..., 3],
         rel_l2=rel_l2, rel_l2_per_channel=np.asarray(per_ch))
     print(f"saved predictions to {args.save_path}")
+
+    if args.save_animation:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.animation as manim
+        import matplotlib.pyplot as plt
+
+        fig, axes = plt.subplots(2, 4, figsize=(16, 5))
+        names = ["p", "b", "u", "w"]
+        ims = []
+        for c in range(4):
+            vmin = float(min(gt[..., c].min(), pred[..., c].min()))
+            vmax = float(max(gt[..., c].max(), pred[..., c].max()))
+            for j, field in enumerate((gt, pred)):
+                ax = axes[j, c]
+                im = ax.imshow(field[0, :, :, c], origin="lower",
+                               aspect="auto", cmap="RdBu_r",
+                               vmin=vmin, vmax=vmax)
+                ax.set_title(f"{names[c]} "
+                             f"{'GT' if j == 0 else 'pred'}")
+                ax.set_xticks([]); ax.set_yticks([])
+                ims.append((im, j, c))
+        fig.tight_layout()
+
+        def update(fi):
+            for im, j, c in ims:
+                im.set_data((gt if j == 0 else pred)[fi, :, :, c])
+            return [im for im, _, _ in ims]
+
+        anim = manim.FuncAnimation(fig, update, frames=eval_nt,
+                                   blit=True)
+        os.makedirs(os.path.dirname(os.path.abspath(args.save_animation))
+                    or ".", exist_ok=True)
+        anim.save(args.save_animation, writer=manim.PillowWriter(fps=8))
+        plt.close(fig)
+        print(f"saved animation to {args.save_animation}")
 
     if args.render_frames > 0:
         import matplotlib

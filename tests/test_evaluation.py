@@ -1,0 +1,44 @@
+"""Evaluation-driver internals: dense_query correctness on CPU."""
+
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                "experiments", "rb2d"))
+
+from space_time_pde_tpu.models import ImNet, UNet3d  # noqa: E402
+
+
+def test_dense_query_matches_direct_query():
+    from evaluation import dense_query
+    from space_time_pde_tpu.models import query_local_implicit_grid
+
+    igres = (4, 8, 8)
+    unet = UNet3d(in_features=4, out_features=8, igres=igres, nf=8)
+    imnet = ImNet(dim=3, in_features=8, out_features=4, nf=2)
+    key = jax.random.PRNGKey(0)
+    rng = np.random.RandomState(0)
+    lres = jnp.asarray(rng.randn(*igres, 4).astype(np.float32))
+    params = {
+        "unet": unet.init(key, lres[None])["params"],
+        "imnet": imnet.init(key, jnp.zeros((1, 11)))["params"],
+    }
+
+    out_shape = (6, 10, 12)
+    # Chunk smaller than the lattice to exercise chunking + padding.
+    pred = dense_query(unet, imnet, params, lres, out_shape, chunk=128,
+                       fused=False)
+    assert pred.shape == (*out_shape, 4)
+
+    latent = unet.apply({"params": params["unet"]}, lres[None])
+    axes = [np.linspace(0, 1, n, dtype=np.float32) for n in out_shape]
+    TT, ZZ, XX = np.meshgrid(*axes, indexing="ij")
+    pts = jnp.asarray(np.stack([TT, ZZ, XX], -1).reshape(1, -1, 3))
+    want = query_local_implicit_grid(
+        lambda v: imnet.apply({"params": params["imnet"]}, v), latent, pts)
+    np.testing.assert_allclose(
+        pred.reshape(-1, 4), np.asarray(want[0]), rtol=1e-5, atol=1e-5)
