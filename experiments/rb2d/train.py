@@ -47,6 +47,10 @@ def main():
         "--profile_epoch", type=int, default=-1,
         help="epoch to capture a jax.profiler (xprof) trace for; "
              "written to <log_dir>/profile")
+    parser.add_argument(
+        "--inner_steps", type=int, default=1,
+        help="optimizer steps chained on-device per dispatch "
+             "(lax.scan); amortizes host/dispatch latency")
     args = parser.parse_args()
     cfg = config_from_args(args)
 
@@ -99,9 +103,14 @@ def main():
     state = init_state(jax.random.PRNGKey(cfg.train.seed), cfg, unet,
                        imnet, tx)
     loss_fn = make_loss_fn(cfg, unet, imnet, pde_layer)
+    inner = max(1, args.inner_steps)
     if ndev > 1:
         step_fn, mesh = make_dp_train_step(loss_fn, tx, ndev)
         state = replicate_state(state, mesh)
+        inner = 1  # multi-step chaining is single-device for now
+    elif inner > 1:
+        from space_time_pde_tpu.train.trainer import make_multi_step
+        step_fn = make_multi_step(loss_fn, tx, inner)
     else:
         step_fn = make_train_step(loss_fn, tx)
     eval_fn = make_eval_fn(cfg, unet, imnet)
@@ -126,8 +135,17 @@ def main():
     # Background host thread keeps batches ready while the TPU steps
     # (replaces the reference's DataLoader worker subprocesses).
     from space_time_pde_tpu.data.prefetch import BatchPrefetcher
-    prefetcher = BatchPrefetcher(
-        lambda: ds.sample_batch(rng, batch_per_step), depth=4)
+    if inner > 1:
+        import numpy as _np
+
+        def _make():
+            bs = [ds.sample_batch(rng, batch_per_step)
+                  for _ in range(inner)]
+            return {k: _np.stack([b[k] for b in bs]) for k in bs[0]}
+        prefetcher = BatchPrefetcher(_make, depth=4)
+    else:
+        prefetcher = BatchPrefetcher(
+            lambda: ds.sample_batch(rng, batch_per_step), depth=4)
 
     import contextlib
 
@@ -138,7 +156,7 @@ def main():
             if epoch == args.profile_epoch else contextlib.nullcontext())
         t0 = time.time()
         with profile_ctx:
-            for _ in range(steps_per_epoch):
+            for _ in range(max(1, steps_per_epoch // inner)):
                 batch = {k: jnp.asarray(v)
                          for k, v in prefetcher.get().items()}
                 state, metrics = step_fn(state, batch)

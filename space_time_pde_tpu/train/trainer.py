@@ -195,6 +195,39 @@ def make_train_step(loss_fn, tx: optax.GradientTransformation,
     return step
 
 
+def make_multi_step(loss_fn, tx: optax.GradientTransformation,
+                    n_inner: int, jit: bool = True):
+    """G optimizer steps per dispatch via lax.scan over stacked batches.
+
+    step(state, stacked_batch) where every batch array has a leading
+    [n_inner, ...] axis. Returns (state after G steps, metrics of the
+    last step). Amortizes per-dispatch host/tunnel latency — on this
+    environment's remote TPU a single dispatch round-trip (~30 ms)
+    otherwise dwarfs the ~10 ms device step.
+    """
+
+    def one(state: TrainState, batch):
+        (_, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, batch)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return TrainState(step=state.step + 1, params=params,
+                          opt_state=opt_state, key=state.key), metrics
+
+    def step(state: TrainState, stacked_batch):
+        return jax.lax.scan(one, state, stacked_batch)
+
+    if jit:
+        step = jax.jit(step, donate_argnums=(0,))
+
+    def step_last_metrics(state, stacked_batch):
+        state, metrics = step(state, stacked_batch)
+        return state, jax.tree.map(lambda m: m[-1], metrics)
+
+    return step_last_metrics
+
+
 def make_eval_fn(cfg: Config, unet: UNet3d, imnet: ImNet,
                  query_fn: Optional[Callable] = None, jit: bool = True):
     """Relative-L2 of predictions vs point ground truth (the paper's

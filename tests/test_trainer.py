@@ -142,3 +142,34 @@ def test_checkpoint_roundtrip(tiny_setup, tmp_path):
     np.testing.assert_allclose(float(m_cont["loss"]), float(m_res["loss"]),
                                rtol=1e-6)
     mngr.close()
+
+
+def test_multi_step_matches_sequential(tiny_setup):
+    import optax
+    from space_time_pde_tpu.train.trainer import make_multi_step
+
+    cfg, ds, unet, imnet = tiny_setup
+    tx = optax.sgd(1e-3)
+    loss_fn = make_loss_fn(cfg, unet, imnet, pde_layer=None)
+    rng = np.random.RandomState(7)
+    batches = [ds.sample_batch(rng, 1) for _ in range(3)]
+    stacked = {k: jnp.asarray(np.stack([b[k] for b in batches]))
+               for k in batches[0]}
+
+    s_seq = init_state(jax.random.PRNGKey(5), cfg, unet, imnet, tx)
+    single = make_train_step(loss_fn, tx, jit=False)
+    for b in batches:
+        s_seq, m_seq = single(s_seq, {k: jnp.asarray(v)
+                                      for k, v in b.items()})
+
+    s_multi = init_state(jax.random.PRNGKey(5), cfg, unet, imnet, tx)
+    multi = make_multi_step(loss_fn, tx, 3)
+    s_multi, m_multi = multi(s_multi, stacked)
+
+    assert int(s_multi.step) == 3
+    np.testing.assert_allclose(float(m_multi["loss"]),
+                               float(m_seq["loss"]), rtol=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6),
+        s_multi.params, s_seq.params)
