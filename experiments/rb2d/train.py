@@ -51,8 +51,14 @@ def main():
         "--inner_steps", type=int, default=1,
         help="optimizer steps chained on-device per dispatch "
              "(lax.scan); amortizes host/dispatch latency")
+    parser.add_argument(
+        "--debug_nans", action="store_true",
+        help="enable jax_debug_nans (error at the op producing the "
+             "first NaN; disables async dispatch — debug only)")
     args = parser.parse_args()
     cfg = config_from_args(args)
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
 
     # Validate cheap config errors before touching data/devices.
     from space_time_pde_tpu.physics.systems import available_systems

@@ -27,17 +27,20 @@ def test_fused_decode_blend_matches_imnet(n, block):
     model, params = _setup()
     rng = np.random.RandomState(1)
     feats = rng.randn(n, 8, 8).astype(np.float32)
-    rel = rng.rand(n, 8, 3).astype(np.float32) * 2 - 1
+    frac = rng.rand(n, 3).astype(np.float32)
     w = rng.rand(n, 8).astype(np.float32)
     w = w / w.sum(-1, keepdims=True)
 
     packed = pack_imnet_params(params, 3, 8, model.nf, dtype=jnp.float32)
     got = fused_decode_blend(
         jnp.asarray(feats.reshape(n * 8, 8)),
-        jnp.asarray(rel.reshape(n * 8, 3)),
+        jnp.asarray(frac),
         jnp.asarray(w), packed, nf=model.nf,
         compute_dtype=jnp.float32, block_pts=block, interpret=True)
 
+    # Reference path: rel_k = frac - offset_k, ImNet per corner, blend.
+    offs = corner_offsets(3).astype(np.float32)             # [8, 3]
+    rel = frac[:, None, :] - offs[None]                     # [n, 8, 3]
     x = jnp.concatenate([jnp.asarray(rel), jnp.asarray(feats)], axis=-1)
     ref = model.apply({"params": params}, x)                # [n, 8, 4]
     want = jnp.einsum("nko,nk->no", ref, jnp.asarray(w))
@@ -97,7 +100,7 @@ def test_pack_imnet_params_shapes():
     tot = 4 * (16 + 8 + 4 + 2 + 1)
     assert packed["wx_rel"].shape == (3, tot)
     assert packed["wx_feat"].shape == (8, tot)
-    assert packed["b_all"].shape == (1, tot)
+    assert packed["corner_bias"].shape == (8, tot)
     assert packed["wh1"].shape == (64, 32)
     assert packed["wh4"].shape == (8, 4)
     assert packed["w5"].shape == (4, 4)
