@@ -51,8 +51,6 @@ def query_local_implicit_grid(
     the reference flattens to ``B*N*2^D`` rows before the MLP — XLA does
     the equivalent reshape for the MXU automatically).
     """
-    if latent_grid.ndim != pts.ndim + latent_grid.ndim - 3 + 1:
-        pass  # shapes validated below via vmap contract
     dim = pts.shape[-1]
     if latent_grid.ndim != dim + 2:
         raise ValueError(

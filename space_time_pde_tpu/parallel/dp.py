@@ -16,7 +16,7 @@ Tested on a virtual 8-device CPU mesh
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp

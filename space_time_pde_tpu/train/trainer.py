@@ -22,7 +22,7 @@ Differences from the reference's structure (TPU-first):
 
 from __future__ import annotations
 
-import functools
+
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import flax.struct

@@ -13,7 +13,7 @@ from __future__ import annotations
 import argparse
 import dataclasses
 from dataclasses import dataclass, field
-from typing import Optional, Tuple
+from typing import Optional
 
 __all__ = ["Config", "ModelConfig", "DataConfig", "TrainConfig",
            "PhysicsConfig", "add_args", "config_from_args"]
