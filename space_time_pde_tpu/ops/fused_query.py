@@ -144,7 +144,7 @@ def cell_major_features(grid: jnp.ndarray) -> jnp.ndarray:
     return cells.reshape(n_cells, offs.shape[0] * grid.shape[-1])
 
 
-def _kernel(feats_ref, frac_ref, w_ref, wxf_ref, wxr_ref, cb_ref, wh1_ref,
+def _kernel(feats_ref, frac_ref, wxf_ref, wxr_ref, cb_ref, wh1_ref,
             wh2_ref, wh3_ref, wh4_ref, w5_ref, b5_ref, out_ref, *,
             widths, n_corners: int, negative_slope: float, compute_dtype):
     offs = np.cumsum([0] + list(widths))
@@ -179,35 +179,48 @@ def _kernel(feats_ref, frac_ref, w_ref, wxf_ref, wxr_ref, cb_ref, wh1_ref,
         h = act(pre + xs[:, offs[i + 1]:offs[i + 2]].astype(jnp.float32))
 
     # Multilinear blend on the narrow feature (final layer is linear).
+    # Weights computed in-kernel from frac (tiny VPU op; saves an
+    # [N, K] HBM round-trip and its producing XLA fusion).
+    dim = frac_ref.shape[-1]
+    offs_np = corner_offsets(dim)                           # [K, dim] static
+    frac32 = frac_ref[:].astype(jnp.float32)                # [NB, dim]
+    cols = []
+    for kidx in range(n_corners):
+        col = None
+        for d in range(dim):
+            fd = frac32[:, d:d + 1]                         # [NB, 1]
+            term = fd if offs_np[kidx, d] else (1.0 - fd)
+            col = term if col is None else col * term
+        cols.append(col)
+    w = jnp.concatenate(cols, axis=1)                       # [NB, K]
     hb = h.reshape(nb, n_corners, widths[-1])               # [NB, K, nf]
-    w = w_ref[:].astype(jnp.float32)                        # [NB, K]
     hblend = jnp.sum(hb * w[:, :, None], axis=1)            # [NB, nf]
     out = jnp.dot(hblend.astype(compute_dtype), w5_ref[:],
                   preferred_element_type=jnp.float32) + b5_ref[:]
     out_ref[:] = out.astype(out_ref.dtype)
 
 
-def fused_decode_blend(feats2, frac, weights, packed, *, nf: int,
+def fused_decode_blend(feats2, frac, packed, *, nf: int, n_corners: int,
                        negative_slope: float = 0.01,
                        block_pts: int = 256,
                        compute_dtype=jnp.bfloat16,
                        pad_to: int = 0,
                        interpret: bool = False) -> jnp.ndarray:
-    """feats2: [N*K, C]; frac: [N, dim] in-cell fractions;
-    weights: [N, K] -> [N, out].
+    """feats2: [N*K, C]; frac: [N, dim] in-cell fractions -> [N, out].
 
+    Multilinear blend weights are derived from ``frac`` in-kernel.
     ``pad_to`` must match the value used in ``pack_imnet_params``.
     """
     nk, c = feats2.shape
-    n, k = weights.shape
-    assert nk == n * k, (feats2.shape, weights.shape)
+    k = n_corners
+    n = nk // k
+    assert nk == n * k and frac.shape[0] == n, (feats2.shape, frac.shape)
     out_dim = packed["w5"].shape[1]
     nb = block_pts
     n_pad = (-n) % nb
     if n_pad:
         feats2 = jnp.pad(feats2, ((0, n_pad * k), (0, 0)))
         frac = jnp.pad(frac, ((0, n_pad), (0, 0)))
-        weights = jnp.pad(weights, ((0, n_pad), (0, 0)))
     n_tot = n + n_pad
     grid = (n_tot // nb,)
     r = nb * k
@@ -239,7 +252,6 @@ def fused_decode_blend(feats2, frac, weights, packed, *, nf: int,
         in_specs=[
             pl.BlockSpec((r, c), lambda i: (i, 0), memory_space=mspace),
             pl.BlockSpec((nb, dim), lambda i: (i, 0), memory_space=mspace),
-            pl.BlockSpec((nb, k), lambda i: (i, 0), memory_space=mspace),
             *param_specs,
         ],
         out_specs=pl.BlockSpec((nb, out_dim), lambda i: (i, 0),
@@ -247,7 +259,7 @@ def fused_decode_blend(feats2, frac, weights, packed, *, nf: int,
         out_shape=jax.ShapeDtypeStruct((n_tot, out_dim), jnp.float32),
         interpret=interpret,
         compiler_params=compiler_params,
-    )(feats2, frac, weights, *param_vals)
+    )(feats2, frac, *param_vals)
     return out[:n]
 
 
@@ -283,13 +295,8 @@ def fused_query_local_implicit_grid(imnet, params, latent_grid, pts,
         rows = jnp.take(cell_feats, cell_flat, axis=0)      # [N, K*C]
         feats2 = rows.reshape(n * k, c)                     # free view
 
-        offs = jnp.asarray(corner_offsets(dim), frac.dtype)
-        per_axis = jnp.where(offs[None].astype(bool),
-                             frac[:, None, :], 1.0 - frac[:, None, :])
-        w = jnp.prod(per_axis, axis=-1)                     # [N, K]
-
         return fused_decode_blend(
-            feats2, frac, w, packed, nf=imnet.nf,
+            feats2, frac, packed, nf=imnet.nf, n_corners=k,
             negative_slope=imnet.negative_slope,
             block_pts=block_pts, compute_dtype=compute_dtype,
             pad_to=pad_to, interpret=interpret)

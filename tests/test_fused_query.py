@@ -28,19 +28,20 @@ def test_fused_decode_blend_matches_imnet(n, block):
     rng = np.random.RandomState(1)
     feats = rng.randn(n, 8, 8).astype(np.float32)
     frac = rng.rand(n, 3).astype(np.float32)
-    w = rng.rand(n, 8).astype(np.float32)
-    w = w / w.sum(-1, keepdims=True)
 
     packed = pack_imnet_params(params, 3, 8, model.nf, dtype=jnp.float32)
     got = fused_decode_blend(
         jnp.asarray(feats.reshape(n * 8, 8)),
-        jnp.asarray(frac),
-        jnp.asarray(w), packed, nf=model.nf,
+        jnp.asarray(frac), packed, nf=model.nf, n_corners=8,
         compute_dtype=jnp.float32, block_pts=block, interpret=True)
 
-    # Reference path: rel_k = frac - offset_k, ImNet per corner, blend.
+    # Reference path: rel_k = frac - offset_k, multilinear weights from
+    # frac, ImNet per corner, blend.
     offs = corner_offsets(3).astype(np.float32)             # [8, 3]
     rel = frac[:, None, :] - offs[None]                     # [n, 8, 3]
+    per_axis = np.where(offs[None].astype(bool), frac[:, None, :],
+                        1.0 - frac[:, None, :])
+    w = per_axis.prod(-1)                                   # [n, 8]
     x = jnp.concatenate([jnp.asarray(rel), jnp.asarray(feats)], axis=-1)
     ref = model.apply({"params": params}, x)                # [n, 8, 4]
     want = jnp.einsum("nko,nk->no", ref, jnp.asarray(w))
