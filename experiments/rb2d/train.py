@@ -55,6 +55,11 @@ def main():
         "--debug_nans", action="store_true",
         help="enable jax_debug_nans (error at the op producing the "
              "first NaN; disables async dispatch — debug only)")
+    parser.add_argument(
+        "--space_devices", type=int, default=1,
+        help="mesh devices for the 'space' axis (sharded latent grid + "
+             "binned query points with ppermute halo); the remaining "
+             "devices form the 'data' axis")
     args = parser.parse_args()
     cfg = config_from_args(args)
     if args.debug_nans:
@@ -103,14 +108,30 @@ def main():
         viscosity=cfg.physics.viscosity,
     ) if cfg.train.alpha_pde > 0 else None
 
-    batch_per_step = cfg.train.batch_size_per_gpu * ndev
+    # With space sharding, only ndev/space devices carry batch shards.
+    n_data_ranks = ndev // max(1, args.space_devices)
+    batch_per_step = cfg.train.batch_size_per_gpu * n_data_ranks
     steps_per_epoch = max(1, cfg.train.pseudo_epoch_size // batch_per_step)
     tx = make_optimizer(cfg, steps_per_epoch)
     state = init_state(jax.random.PRNGKey(cfg.train.seed), cfg, unet,
                        imnet, tx)
     loss_fn = make_loss_fn(cfg, unet, imnet, pde_layer)
     inner = max(1, args.inner_steps)
-    if ndev > 1:
+    n_space = max(1, args.space_devices)
+    place_fn = None
+    if n_space > 1:
+        from space_time_pde_tpu.parallel.dp_sp import (
+            make_dp_sp_batch, make_dp_sp_train_step,
+        )
+        n_data = n_data_ranks
+        assert n_data * n_space == ndev, (
+            f"--space_devices {n_space} must divide device count {ndev}")
+        step_fn, mesh, place_fn = make_dp_sp_train_step(
+            cfg, unet, imnet, pde_layer, tx, n_data, n_space)
+        x_nodes = ds.lres_shape[2]
+        sp_batch = lambda b: make_dp_sp_batch(b, n_space, x_nodes)
+        inner = 1
+    elif ndev > 1:
         step_fn, mesh = make_dp_train_step(loss_fn, tx, ndev)
         state = replicate_state(state, mesh)
         inner = 1  # multi-step chaining is single-device for now
@@ -141,7 +162,11 @@ def main():
     # Background host thread keeps batches ready while the TPU steps
     # (replaces the reference's DataLoader worker subprocesses).
     from space_time_pde_tpu.data.prefetch import BatchPrefetcher
-    if inner > 1:
+    if n_space > 1:
+        prefetcher = BatchPrefetcher(
+            lambda: sp_batch(ds.sample_batch(rng, batch_per_step)),
+            depth=4)
+    elif inner > 1:
         import numpy as _np
 
         def _make():
@@ -165,6 +190,8 @@ def main():
             for _ in range(max(1, steps_per_epoch // inner)):
                 batch = {k: jnp.asarray(v)
                          for k, v in prefetcher.get().items()}
+                if place_fn is not None:
+                    state, batch = place_fn(state, batch)
                 state, metrics = step_fn(state, batch)
             jax.block_until_ready(state.params)
         metrics = {k: float(v) for k, v in metrics.items()}
