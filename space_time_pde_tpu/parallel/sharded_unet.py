@@ -1,0 +1,132 @@
+"""UNet3d encoder running on an x-sharded grid (halo convs).
+
+Completes the config-#5 scale-out story: with the encoder sharded, the
+ENTIRE pipeline (encode -> latent grid -> query) runs on grids larger
+than one chip's HBM — the latent shard feeds
+``parallel.halo.sharded_query_local_implicit_grid`` directly with no
+re-sharding.
+
+Same topology as ``models.UNet3d`` (bottleneck ResBlocks, strided
+downsampling doubling filters, skip concat, same-resolution latent
+head) built from :mod:`parallel.halo_conv` pieces; upsampling is
+nearest-repeat + halo conv (a transposed conv's scatter pattern doesn't
+decompose into one-hop halos; repeat+conv does, and is the standard
+substitute). Must run inside ``shard_map`` with the x axis sharded; a
+mesh axis of size 1 reproduces the unsharded computation exactly
+(tested), so the same module serves both.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from space_time_pde_tpu.parallel.halo_conv import (
+    HaloConv3d, ShardedGroupNorm,
+)
+
+__all__ = ["ShardedUNet3d", "ShardedResBlock3D"]
+
+
+def _num_groups(ch: int) -> int:
+    for g in (8, 4, 2, 1):
+        if ch % g == 0:
+            return g
+    return 1
+
+
+class ShardedResBlock3D(nn.Module):
+    neck_channels: int
+    out_channels: int
+    axis_name: str = "space"
+    negative_slope: float = 0.01
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        act = lambda h: jax.nn.leaky_relu(h, self.negative_slope)
+        gn = lambda ch, name: ShardedGroupNorm(
+            _num_groups(ch), self.axis_name, name=name)
+        h = nn.Conv(self.neck_channels, (1, 1, 1), dtype=self.dtype,
+                    name="conv1")(x)
+        h = act(gn(self.neck_channels, "norm1")(h))
+        h = HaloConv3d(self.neck_channels, (3, 3, 3),
+                       axis_name=self.axis_name, dtype=self.dtype,
+                       name="conv2")(h)
+        h = act(gn(self.neck_channels, "norm2")(h))
+        h = nn.Conv(self.out_channels, (1, 1, 1), dtype=self.dtype,
+                    name="conv3")(h)
+        h = gn(self.out_channels, "norm3")(h)
+        if x.shape[-1] != self.out_channels:
+            x = nn.Conv(self.out_channels, (1, 1, 1), use_bias=False,
+                        dtype=self.dtype, name="proj")(x)
+        return act(h + x)
+
+
+class ShardedUNet3d(nn.Module):
+    """x-sharded UNet3d: [B, T, Z, X_loc, Cin] -> same-res latent shard.
+
+    ``igres`` is the GLOBAL (T, Z, X) resolution; depth derives from it
+    like models.UNet3d. The local x size must stay even through every
+    level: X / n_shards % 2**levels == 0.
+    """
+
+    in_features: int = 4
+    out_features: int = 32
+    igres: Sequence[int] = (4, 16, 16)
+    nf: int = 16
+    mf: int = 512
+    axis_name: str = "space"
+    negative_slope: float = 0.01
+    dtype: Any = jnp.float32
+
+    @property
+    def levels(self) -> int:
+        return int(math.floor(math.log2(min(self.igres))))
+
+    @nn.compact
+    def __call__(self, x):
+        lv = self.levels
+        act = lambda h: jax.nn.leaky_relu(h, self.negative_slope)
+        if x.shape[3] % (2 ** lv) != 0:
+            raise ValueError(
+                f"local x {x.shape[3]} not divisible by 2^{lv}")
+        x = x.astype(self.dtype)
+
+        h = act(HaloConv3d(self.nf, (3, 3, 3), axis_name=self.axis_name,
+                           dtype=self.dtype, name="conv_in")(x))
+        skips = []
+        ch = self.nf
+        for i in range(lv):
+            h = ShardedResBlock3D(max(ch // 2, 1), ch, self.axis_name,
+                                  self.negative_slope, self.dtype,
+                                  name=f"down_res{i}")(h)
+            skips.append(h)
+            ch = min(ch * 2, self.mf)
+            h = act(HaloConv3d(ch, (3, 3, 3), strides=(2, 2, 2),
+                               axis_name=self.axis_name, dtype=self.dtype,
+                               name=f"down{i}")(h))
+
+        h = ShardedResBlock3D(max(ch // 2, 1), ch, self.axis_name,
+                              self.negative_slope, self.dtype,
+                              name="bottleneck")(h)
+
+        for i in reversed(range(lv)):
+            skip = skips[i]
+            ch = skip.shape[-1]
+            for ax in (1, 2, 3):           # nearest x2 (local, x incl.)
+                h = jnp.repeat(h, 2, axis=ax)
+            h = act(HaloConv3d(ch, (3, 3, 3), axis_name=self.axis_name,
+                               dtype=self.dtype, name=f"up{i}")(h))
+            h = jnp.concatenate([h, skip], axis=-1)
+            h = ShardedResBlock3D(max(ch // 2, 1), ch, self.axis_name,
+                                  self.negative_slope, self.dtype,
+                                  name=f"up_res{i}")(h)
+
+        out = nn.Conv(self.out_features, (1, 1, 1), dtype=self.dtype,
+                      name="conv_out")(h)
+        return out.astype(jnp.float32)
