@@ -32,7 +32,8 @@ from typing import Dict
 
 import numpy as np
 
-__all__ = ["simulate_rb2d", "taylor_green_fields", "save_npz"]
+__all__ = ["simulate_rb2d", "taylor_green_fields", "abc_flow_fields",
+           "save_npz"]
 
 
 def save_npz(path: str, fields: Dict[str, np.ndarray]) -> None:
@@ -266,3 +267,40 @@ def simulate_rb2d(nx: int = 512, nz: int = 128, lx: float = 4.0,
     snaps["rayleigh"] = np.float64(rayleigh)
     snaps["prandtl"] = np.float64(prandtl)
     return snaps
+
+
+def abc_flow_fields(nt: int = 16, nz: int = 32, ny: int = 32,
+                    nx: int = 32, viscosity: float = 1e-2,
+                    dt: float = 0.1, A: float = 1.0, B: float = 0.7,
+                    C: float = 0.3, dtype=np.float32
+                    ) -> Dict[str, np.ndarray]:
+    """Exact decaying ABC (Beltrami) Navier-Stokes solution on [0,2pi)^3.
+
+        u = (A sin z + C cos y) F,  v = (B sin x + A cos z) F,
+        w = (C sin y + B cos x) F,  p = -(u^2+v^2+w^2)/2,
+        F = exp(-nu t)
+
+    Beltrami flow (omega = u), so (u.grad)u = grad|u|^2/2 and
+    lap(u) = -u: an exact unsteady solution of incompressible 3-D NS —
+    the 4-D analog of :func:`taylor_green_fields` for physics-loss
+    tests and 4-D pipeline demos. Arrays are [T, Z, Y, X].
+    """
+    t = np.arange(nt) * dt
+    z = np.linspace(0, 2 * np.pi, nz, endpoint=False)
+    y = np.linspace(0, 2 * np.pi, ny, endpoint=False)
+    x = np.linspace(0, 2 * np.pi, nx, endpoint=False)
+    T, Z, Y, X = np.meshgrid(t, z, y, x, indexing="ij")
+    F = np.exp(-viscosity * T)
+    u = (A * np.sin(Z) + C * np.cos(Y)) * F
+    v = (B * np.sin(X) + A * np.cos(Z)) * F
+    w = (C * np.sin(Y) + B * np.cos(X)) * F
+    p = -0.5 * (u ** 2 + v ** 2 + w ** 2)
+    return {
+        "p": p.astype(dtype), "u": u.astype(dtype),
+        "v": v.astype(dtype), "w": w.astype(dtype),
+        "dt": np.float64(dt),
+        "dz": np.float64(2 * np.pi / nz),
+        "dy": np.float64(2 * np.pi / ny),
+        "dx": np.float64(2 * np.pi / nx),
+        "viscosity": np.float64(viscosity),
+    }

@@ -119,3 +119,89 @@ def test_4d_end_to_end_train_step():
     assert np.isfinite(float(loss))
     gnorm = optax.global_norm(grads)
     assert np.isfinite(float(gnorm)) and float(gnorm) > 0
+
+
+def test_abc_generator_and_4d_dataset(tmp_path):
+    from space_time_pde_tpu.data import Field4DDataset, abc_flow_fields, \
+        save_npz
+
+    fields = abc_flow_fields(nt=12, nz=16, ny=16, nx=16, viscosity=0.05)
+    # Exact incompressibility (spectral identity) at collocation pts:
+    # FD check on the analytic fields.
+    u, v, w = fields["u"], fields["v"], fields["w"]
+    dx = float(fields["dx"])
+    div = ((np.roll(u, -1, 3) - np.roll(u, 1, 3))
+           + (np.roll(v, -1, 2) - np.roll(v, 1, 2))
+           + (np.roll(w, -1, 1) - np.roll(w, 1, 1))) / (2 * dx)
+    assert np.abs(div).max() < 0.02  # 2nd-order FD error bound
+
+    save_npz(str(tmp_path / "abc.npz"), fields)
+    ds = Field4DDataset(
+        data_folder=str(tmp_path), data_filename="abc.npz",
+        nt=8, nz=8, ny=8, nx=8, n_samp_pts_per_crop=32,
+        downsamp_t=2, downsamp_xyz=2)
+    item = ds[0]
+    assert item["lres"].shape == (4, 4, 4, 4, 4)
+    assert item["point_coord"].shape == (32, 4)
+    assert item["point_value"].shape == (32, 4)
+    batch = ds.sample_batch(np.random.RandomState(0), 2)
+    assert batch["lres"].shape == (2, 4, 4, 4, 4, 4)
+    et = ds.coord_extents
+    assert len(et) == 4 and et[0] == pytest.approx(7 * 0.1)
+
+
+def test_4d_pipeline_trains_on_abc_data(tmp_path):
+    """Full 4-D slice: ABC data -> UNet4d -> 16-corner query -> ns3d
+    physics loss -> a few optimizer steps reduce the loss."""
+    import optax
+    from space_time_pde_tpu.data import Field4DDataset, abc_flow_fields, \
+        save_npz
+
+    save_npz(str(tmp_path / "abc.npz"),
+             abc_flow_fields(nt=12, nz=16, ny=16, nx=16, viscosity=0.05))
+    ds = Field4DDataset(
+        data_folder=str(tmp_path), data_filename="abc.npz",
+        nt=8, nz=8, ny=8, nx=8, n_samp_pts_per_crop=32,
+        downsamp_t=2, downsamp_xyz=2)
+
+    unet = UNet4d(in_features=4, out_features=4, igres=ds.lres_shape,
+                  nf=4)
+    imnet = ImNet(dim=4, in_features=4, out_features=4, nf=1)
+    key = jax.random.PRNGKey(0)
+    batch = {k: jnp.asarray(v) for k, v in
+             ds.sample_batch(np.random.RandomState(0), 1).items()}
+    params = {
+        "unet": unet.init(key, batch["lres"])["params"],
+        "imnet": imnet.init(key, jnp.zeros((1, 8)))["params"],
+    }
+    et, ez, ey, ex = ds.coord_extents
+    pde = get_pde_layer("ns3d", mean=ds.channel_mean,
+                        std=ds.channel_std, t_crop=et, z_crop=ez,
+                        y_crop=ey, x_crop=ex, viscosity=0.05)
+
+    def loss_fn(p):
+        latent = unet.apply({"params": p["unet"]}, batch["lres"])
+        fwd = lambda pts: query_local_implicit_grid(
+            lambda vv: imnet.apply({"params": p["imnet"]}, vv),
+            latent, pts)
+        reg = jnp.mean(jnp.square(fwd(batch["point_coord"])
+                                  - batch["point_value"]))
+        pde_total, _ = pde.residual_loss(batch["point_coord"], fwd=fwd)
+        return reg + 0.01 * pde_total
+
+    tx = optax.adam(3e-3)
+    opt_state = tx.init(params)
+    step = jax.jit(lambda p, o: _update(p, o, loss_fn, tx))
+    first = None
+    for _ in range(15):
+        params, opt_state, loss = step(params, opt_state)
+        if first is None:
+            first = float(loss)
+    assert float(loss) < 0.9 * first, (first, float(loss))
+
+
+def _update(params, opt_state, loss_fn, tx):
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    updates, opt_state = tx.update(grads, opt_state, params)
+    import optax as _optax
+    return _optax.apply_updates(params, updates), opt_state, loss
