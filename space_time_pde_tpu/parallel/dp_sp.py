@@ -11,10 +11,12 @@ no attention/pipeline structure exists to tp/pp over):
   reduced with cross-axis psums so the result equals the unsharded
   computation.
 
-The UNet encode runs replicated across ``space`` (each space-rank
-encodes its data shard fully, then slices its latent shard); a
-spatially-sharded halo-conv encoder is the planned follow-up for grids
-that exceed one chip's HBM.
+Two encoder modes: replicated (each space-rank encodes its data shard
+fully, then slices its latent shard — cheap for small grids) or
+``sharded_encoder=True`` with a halo-conv
+:class:`~space_time_pde_tpu.parallel.sharded_unet.ShardedUNet3d`, where
+neither the input grid nor the latent grid is ever materialized whole
+on one device (grids beyond one chip's HBM).
 """
 
 from __future__ import annotations
@@ -77,19 +79,28 @@ def make_dp_sp_batch(batch: Dict[str, np.ndarray], n_space: int,
 
 def make_dp_sp_train_step(cfg, unet, imnet, pde_layer,
                           tx: optax.GradientTransformation,
-                          n_data: int, n_space: int):
-    """Build (jitted 2-D-mesh step, mesh).
+                          n_data: int, n_space: int,
+                          sharded_encoder: bool = False):
+    """Build (jitted 2-D-mesh step, mesh, place).
 
-    Batch layout (global): lres [B, t, z, x, C] sharded on 'data';
-    point_coord [B, S, M, 3] sharded on ('data', 'space'); likewise
-    point_value, point_mask. B % n_data == 0; latent x nodes % n_space
-    == 0. State replicated.
+    Batch layout (global): lres [B, t, z, x, C] sharded on 'data'
+    (and on 'space' along x when ``sharded_encoder``); point_coord
+    [B, S, M, 3] sharded on ('data', 'space'); likewise point_value,
+    point_mask. B % n_data == 0; latent x nodes % n_space == 0. State
+    replicated.
+
+    sharded_encoder: ``unet`` is a
+    :class:`~space_time_pde_tpu.parallel.sharded_unet.ShardedUNet3d`
+    (halo convs) consuming its own x-shard of the input — the full
+    latent grid is never materialized on one device.
     """
     devs = np.asarray(jax.devices()[:n_data * n_space]).reshape(
         n_data, n_space)
     mesh = Mesh(devs, ("data", "space"))
     alpha = cfg.train.alpha_pde
     axes = ("data", "space")
+    lres_spec = (P("data", None, None, "space", None)
+                 if sharded_encoder else P("data"))
 
     def shard_step(state: TrainState, batch):
         def loss_fn(params):
@@ -108,12 +119,20 @@ def make_dp_sp_train_step(cfg, unet, imnet, pde_layer,
             values = batch["point_value"][:, 0]
             mask = batch["point_mask"][:, 0]      # [b_loc, M]
 
-            latent = unet.apply({"params": params["unet"]}, lres)
-            x_nodes = latent.shape[3]
-            n_loc = x_nodes // n_space
-            s = jax.lax.axis_index("space")
-            latent_shard = jax.lax.dynamic_slice_in_dim(
-                latent, s * n_loc, n_loc, axis=3)
+            if sharded_encoder:
+                # Halo-conv encoder: lres arrives x-sharded; its output
+                # IS the latent shard.
+                latent_shard = unet.apply({"params": params["unet"]}, lres)
+                x_nodes = latent_shard.shape[3] * n_space
+            else:
+                # Replicated encoder: every space-rank encodes the full
+                # grid and slices its shard.
+                latent = unet.apply({"params": params["unet"]}, lres)
+                x_nodes = latent.shape[3]
+                n_loc = x_nodes // n_space
+                s = jax.lax.axis_index("space")
+                latent_shard = jax.lax.dynamic_slice_in_dim(
+                    latent, s * n_loc, n_loc, axis=3)
             decoder = lambda v: imnet.apply({"params": params["imnet"]}, v)
             fwd = lambda pts: sharded_query_local_implicit_grid(
                 decoder, latent_shard, pts, "space", x_nodes)
@@ -148,7 +167,7 @@ def make_dp_sp_train_step(cfg, unet, imnet, pde_layer,
 
     mapped = jax.shard_map(
         shard_step, mesh=mesh,
-        in_specs=(P(), {"lres": P("data"),
+        in_specs=(P(), {"lres": lres_spec,
                         "point_coord": P("data", "space"),
                         "point_value": P("data", "space"),
                         "point_mask": P("data", "space")}),
@@ -165,7 +184,7 @@ def make_dp_sp_train_step(cfg, unet, imnet, pde_layer,
         state = jax.tree.map(lambda x: jax.device_put(x, rep), state)
         placed = {
             "lres": jax.device_put(
-                batch["lres"], NamedSharding(mesh, P("data"))),
+                batch["lres"], NamedSharding(mesh, lres_spec)),
         }
         for k in ("point_coord", "point_value", "point_mask"):
             placed[k] = jax.device_put(

@@ -29,7 +29,8 @@ from space_time_pde_tpu.parallel.halo_conv import (
     HaloConv3d, ShardedGroupNorm,
 )
 
-__all__ = ["ShardedUNet3d", "ShardedResBlock3D"]
+__all__ = ["ShardedUNet3d", "ShardedResBlock3D",
+           "init_sharded_unet_params"]
 
 
 def _num_groups(ch: int) -> int:
@@ -130,3 +131,21 @@ class ShardedUNet3d(nn.Module):
         out = nn.Conv(self.out_features, (1, 1, 1), dtype=self.dtype,
                       name="conv_out")(h)
         return out.astype(jnp.float32)
+
+
+def init_sharded_unet_params(key, unet: ShardedUNet3d, sample_lres):
+    """Init params for a ShardedUNet3d outside any mesh context.
+
+    The module contains ppermute halos, so init must run inside a
+    shard_map; a 1-device mesh reproduces the unsharded computation and
+    yields the same parameter shapes as any shard count.
+    """
+    import numpy as np
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    mesh1 = Mesh(np.asarray(jax.devices()[:1]), (unet.axis_name,))
+    spec = P(None, None, None, unet.axis_name, None)
+    return jax.jit(jax.shard_map(
+        lambda x: unet.init(key, x), mesh=mesh1,
+        in_specs=(spec,), out_specs=P(),
+        check_vma=False))(sample_lres)

@@ -86,3 +86,62 @@ def test_full_grid_sharded_pipeline():
             x, jnp.asarray(binned))
     got = np.asarray(out)[mask][inverse]
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_dp_sp_with_sharded_encoder():
+    """2-D mesh training step with the halo-conv encoder: the latent
+    grid is never materialized whole on any device."""
+    import optax
+    from space_time_pde_tpu.data import RB2DataLoader, save_npz, \
+        taylor_green_fields
+    from space_time_pde_tpu.parallel.dp_sp import (
+        make_dp_sp_batch, make_dp_sp_train_step,
+    )
+    from space_time_pde_tpu.parallel.sharded_unet import (
+        init_sharded_unet_params,
+    )
+    from space_time_pde_tpu.models import ImNet
+    from space_time_pde_tpu.physics import get_rb2_pde_layer
+    from space_time_pde_tpu.train.trainer import TrainState
+    from space_time_pde_tpu.utils.config import Config
+    import tempfile, os
+
+    d = tempfile.mkdtemp()
+    save_npz(os.path.join(d, "tg.npz"),
+             taylor_green_fields(nt=16, nz=16, nx=32, dt=0.05))
+    ds = RB2DataLoader(
+        data_folder=d, data_filename="tg.npz",
+        nt=8, nz=16, nx=32, n_samp_pts_per_crop=32,
+        downsamp_t=2, downsamp_xz=2)       # lres (4, 8, 16); x=16 -> 8/shard
+
+    cfg = Config()
+    cfg.train.alpha_pde = 0.05
+    unet = ShardedUNet3d(in_features=4, out_features=8,
+                         igres=ds.lres_shape, nf=8)
+    imnet = ImNet(dim=3, in_features=8, out_features=4, nf=2)
+    key = jax.random.PRNGKey(0)
+    sample = jnp.zeros((1, *ds.lres_shape, 4))
+    params = {
+        "unet": init_sharded_unet_params(key, unet, sample)["params"],
+        "imnet": imnet.init(key, jnp.zeros((1, 11)))["params"],
+    }
+    tx = optax.adam(1e-3)
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       opt_state=tx.init(params), key=key)
+    et, ez, ex = ds.coord_extents
+    pde = get_rb2_pde_layer(ds.channel_mean, ds.channel_std, et, ez, ex,
+                            rayleigh=1e4)
+    step, mesh, place = make_dp_sp_train_step(
+        cfg, unet, imnet, pde, tx, n_data=4, n_space=2,
+        sharded_encoder=True)
+    batch = make_dp_sp_batch(
+        ds.sample_batch(np.random.RandomState(0), 4), 2,
+        ds.lres_shape[2])
+    state, placed = place(state, {k: jnp.asarray(v)
+                                  for k, v in batch.items()})
+    state, metrics = step(state, placed)
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.isfinite(float(metrics["pde_loss"]))
+    assert np.isfinite(float(metrics["grad_norm"]))
+    state, m2 = step(state, placed)
+    assert float(m2["loss"]) < float(metrics["loss"]) * 1.5
