@@ -60,6 +60,10 @@ def main():
         help="mesh devices for the 'space' axis (sharded latent grid + "
              "binned query points with ppermute halo); the remaining "
              "devices form the 'data' axis")
+    parser.add_argument(
+        "--sharded_encoder", action="store_true",
+        help="with --space_devices > 1: use the halo-conv ShardedUNet3d "
+             "so the input/latent grids are never whole on one device")
     args = parser.parse_args()
     cfg = config_from_args(args)
     if args.debug_nans:
@@ -99,6 +103,15 @@ def main():
     eval_ds.channel_std = ds.channel_std
 
     unet, imnet = build_models(cfg, ds.lres_shape)
+    if args.sharded_encoder:
+        if args.space_devices < 2:
+            raise SystemExit("--sharded_encoder requires --space_devices>1")
+        from space_time_pde_tpu.parallel.sharded_unet import ShardedUNet3d
+        unet = ShardedUNet3d(
+            in_features=cfg.model.in_channels,
+            out_features=cfg.model.lat_dims, igres=tuple(ds.lres_shape),
+            nf=cfg.model.unet_nf, mf=cfg.model.unet_mf,
+            negative_slope=cfg.model.negative_slope)
     et, ez, ex = ds.coord_extents
     pde_layer = get_pde_layer(
         cfg.physics.pde_system,
@@ -113,9 +126,26 @@ def main():
     batch_per_step = cfg.train.batch_size_per_gpu * n_data_ranks
     steps_per_epoch = max(1, cfg.train.pseudo_epoch_size // batch_per_step)
     tx = make_optimizer(cfg, steps_per_epoch)
-    state = init_state(jax.random.PRNGKey(cfg.train.seed), cfg, unet,
-                       imnet, tx)
-    loss_fn = make_loss_fn(cfg, unet, imnet, pde_layer)
+    if args.sharded_encoder:
+        from space_time_pde_tpu.parallel.sharded_unet import (
+            init_sharded_unet_params,
+        )
+        from space_time_pde_tpu.train.trainer import TrainState
+        key = jax.random.PRNGKey(cfg.train.seed)
+        params = {
+            "unet": init_sharded_unet_params(
+                key, unet, jnp.zeros((1, *ds.lres_shape,
+                                      cfg.model.in_channels)))["params"],
+            "imnet": imnet.init(
+                key, jnp.zeros((1, 3 + cfg.model.lat_dims)))["params"],
+        }
+        state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                           opt_state=tx.init(params), key=key)
+        loss_fn = None  # dp_sp builds its own loss
+    else:
+        state = init_state(jax.random.PRNGKey(cfg.train.seed), cfg, unet,
+                           imnet, tx)
+        loss_fn = make_loss_fn(cfg, unet, imnet, pde_layer)
     inner = max(1, args.inner_steps)
     n_space = max(1, args.space_devices)
     place_fn = None
@@ -127,7 +157,8 @@ def main():
         assert n_data * n_space == ndev, (
             f"--space_devices {n_space} must divide device count {ndev}")
         step_fn, mesh, place_fn = make_dp_sp_train_step(
-            cfg, unet, imnet, pde_layer, tx, n_data, n_space)
+            cfg, unet, imnet, pde_layer, tx, n_data, n_space,
+            sharded_encoder=args.sharded_encoder)
         x_nodes = ds.lres_shape[2]
         sp_batch = lambda b: make_dp_sp_batch(b, n_space, x_nodes)
         inner = 1
@@ -140,7 +171,16 @@ def main():
         step_fn = make_multi_step(loss_fn, tx, inner)
     else:
         step_fn = make_train_step(loss_fn, tx)
-    eval_fn = make_eval_fn(cfg, unet, imnet)
+    if args.sharded_encoder:
+        # Halo modules need a mesh even for eval; a 1-device shard_map
+        # reproduces the unsharded computation.
+        from jax.sharding import Mesh, PartitionSpec as P
+        mesh1 = Mesh(np.asarray(jax.devices()[:1]), ("space",))
+        eval_fn = jax.jit(jax.shard_map(
+            make_eval_fn(cfg, unet, imnet, jit=False), mesh=mesh1,
+            in_specs=(P(), P()), out_specs=P(), check_vma=False))
+    else:
+        eval_fn = make_eval_fn(cfg, unet, imnet)
 
     ckpt_dir = os.path.join(cfg.train.log_dir, "checkpoints")
     mngr = CheckpointManager(ckpt_dir, keep=cfg.train.keep_checkpoints)
@@ -204,10 +244,13 @@ def main():
                                   sec_per_step)
         logger.log(step_now, metrics, prefix="train/")
 
+        # device_get: eval may run on a different (sub-)mesh than the
+        # training step placed the params on.
+        eval_params = (jax.device_get(state.params) if args.sharded_encoder
+                       else jax.tree.map(lambda x: x, state.params))
         em = {k: float(np.asarray(v).mean()) if np.ndim(v) == 0 else 0.0
-              for k, v in eval_fn(
-                  jax.tree.map(lambda x: x, state.params),
-                  eval_batch).items() if np.ndim(v) == 0}
+              for k, v in eval_fn(eval_params,
+                                  eval_batch).items() if np.ndim(v) == 0}
         logger.log(step_now, em, prefix="eval/")
         print(f"epoch {epoch}: loss={metrics.get('loss', 0):.5f} "
               f"reg={metrics.get('reg_loss', 0):.5f} "
