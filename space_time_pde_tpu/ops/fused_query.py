@@ -20,17 +20,25 @@ This module fixes both:
   view.
 
 - **fused decode+blend Pallas kernel** keeping ALL activations in VMEM:
-    per block of NB points (R = NB*8 corner rows):
-    1. xs = feats @ Wx_feat + rel @ Wx_rel + b_all     [R, 31*nf]
-       — the IM-NET "input re-concatenated into every hidden layer"
-       topology means each layer's pre-activation is
-       h @ Wh_i + x @ Wx_i + b_i; all five x-projections fuse into
-       MXU matmuls whose output is sliced per layer;
+    per block of NB points (R = NB*2^D corner rows):
+    1. xs = feats @ Wx_feat  +  expand(frac @ Wx_rel + corner_bias)
+       [R, 31*nf] — the IM-NET "input re-concatenated into every hidden
+       layer" topology means each layer's pre-activation is
+       h @ Wh_i + x @ Wx_i + b_i: all five latent projections fuse into
+       one MXU matmul sliced per layer, and because
+       rel_k = frac - offset_k the coordinate projections factor into
+       an NB-row matmul plus per-corner constants
+       corner_bias[k] = b_all - offset_k @ Wx_rel (8x fewer rows on the
+       K-padded dim-D matmul; measured 26% faster);
     2. h <- leaky_relu(h @ Wh_i + xs_slice_i)  (f32 accumulate, bf16
        operands on TPU);
-    3. blend BEFORE the output layer: the final layer is linear and the
-       multilinear weights sum to 1, so
+    3. multilinear weights derived from frac in-kernel, and the blend
+       moved BEFORE the output layer: the final layer is linear and the
+       weights sum to 1, so
        sum_k w_k (h_k @ W5 + b5) == (sum_k w_k h_k) @ W5 + b5.
+
+Measured (1x v5e, 32k points, nf=32): kernel 108 TFLOP/s (55% of bf16
+peak), full path 15M+ query points/s — see BASELINE.md.
 
 The pure-jnp path (models/local_implicit_grid.py) remains the parity
 oracle and the differentiable training path; this kernel is the
