@@ -94,6 +94,11 @@ def main():
     parser.add_argument("--save_animation", type=str, default="",
                         help="write a GT-vs-prediction GIF to this path")
     parser.add_argument("--query_chunk", type=int, default=65536)
+    parser.add_argument(
+        "--eval_windows", type=int, default=1,
+        help="evaluate N windows evenly spaced through the data "
+             "(starting at --eval_t0) and report mean/std rel-L2; "
+             "npz/frames/animation come from the first window")
     args = parser.parse_args()
 
     mngr = CheckpointManager(args.ckpt)
@@ -119,26 +124,45 @@ def main():
         ds.channel_std = np.asarray(extra["channel_std"], np.float32)
 
     eval_nt = args.eval_nt or cfg.data.nt
-    lres = jnp.asarray(ds.full_lres_sequence(args.eval_t0, eval_nt))
-    unet, imnet = build_models(cfg, lres.shape[:3])
+    lres0 = jnp.asarray(ds.full_lres_sequence(args.eval_t0, eval_nt))
+    unet, imnet = build_models(cfg, lres0.shape[:3])
     tx = make_optimizer(cfg)
     template = init_state(jax.random.PRNGKey(0), cfg, unet, imnet, tx)
     state, _ = mngr.restore(template)
-    print(f"restored step {int(state.step)}; lres {lres.shape}")
+    print(f"restored step {int(state.step)}; lres {lres0.shape}")
 
     T_hi = eval_nt
     Z_hi, X_hi = ds.data.shape[1], ds.data.shape[2]
-    pred_n = dense_query(unet, imnet, state.params, lres,
-                         (T_hi, Z_hi, X_hi), chunk=args.query_chunk)
-    pred = pred_n * ds.channel_std + ds.channel_mean          # denormalize
+    n_windows = max(1, args.eval_windows)
+    max_t0 = ds.data.shape[0] - eval_nt
+    t0s = np.unique(np.linspace(args.eval_t0, max_t0, n_windows)
+                    .astype(int))
 
-    gt = ds.data[args.eval_t0:args.eval_t0 + eval_nt]
-    rel_l2 = np.linalg.norm(pred - gt) / (np.linalg.norm(gt) + 1e-12)
-    per_ch = [
-        float(np.linalg.norm(pred[..., c] - gt[..., c]) /
-              (np.linalg.norm(gt[..., c]) + 1e-12))
-        for c in range(4)]
-    print(f"rel_l2 = {rel_l2:.5f}  per-channel (p,b,u,w) = "
+    all_rel, all_per_ch = [], []
+    pred = gt = None
+    for wi, t0 in enumerate(t0s):
+        lres = (lres0 if t0 == args.eval_t0
+                else jnp.asarray(ds.full_lres_sequence(int(t0), eval_nt)))
+        pred_n = dense_query(unet, imnet, state.params, lres,
+                             (T_hi, Z_hi, X_hi), chunk=args.query_chunk)
+        pred_w = pred_n * ds.channel_std + ds.channel_mean    # denormalize
+        gt_w = ds.data[t0:t0 + eval_nt]
+        rel = np.linalg.norm(pred_w - gt_w) / (np.linalg.norm(gt_w)
+                                               + 1e-12)
+        per_ch_w = [
+            float(np.linalg.norm(pred_w[..., c] - gt_w[..., c]) /
+                  (np.linalg.norm(gt_w[..., c]) + 1e-12))
+            for c in range(4)]
+        all_rel.append(float(rel))
+        all_per_ch.append(per_ch_w)
+        if wi == 0:
+            pred, gt = pred_w, gt_w
+        print(f"window t0={t0}: rel_l2 = {rel:.5f}", flush=True)
+
+    rel_l2 = float(np.mean(all_rel))
+    per_ch = np.mean(np.asarray(all_per_ch), axis=0)
+    print(f"rel_l2 = {rel_l2:.5f} (std {np.std(all_rel):.5f} over "
+          f"{len(t0s)} windows)  per-channel (p,b,u,w) = "
           + " ".join(f"{v:.5f}" for v in per_ch))
 
     os.makedirs(os.path.dirname(os.path.abspath(args.save_path)),
