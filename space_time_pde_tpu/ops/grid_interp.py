@@ -33,6 +33,7 @@ import numpy as np
 
 __all__ = [
     "corner_offsets",
+    "gather_corner_feats",
     "grid_interp_coefficients",
     "multilinear_interp",
 ]
@@ -70,6 +71,26 @@ def _locate(pts, spatial, xmin, xmax):
     return cell, frac
 
 
+def gather_corner_feats(grid, cell):
+    """Gather the ``2**D`` corner feature vectors of each cell.
+
+    grid: ``[*spatial, C]``; cell: ``[N, D]`` int32 cell indices in
+    ``[0, n_d - 2]`` -> ``[N, 2**D, C]`` (corner order matches
+    :func:`corner_offsets`).
+    """
+    spatial = grid.shape[:-1]
+    dim = len(spatial)
+    offs = jnp.asarray(corner_offsets(dim))                 # [K, D] static
+    corner_idx = cell[:, None, :] + offs[None, :, :]        # [N, K, D]
+    # Flatten to 1-d gather: strides are static.
+    strides = np.ones(dim, dtype=np.int32)
+    for a in range(dim - 2, -1, -1):
+        strides[a] = strides[a + 1] * spatial[a + 1]
+    flat_idx = jnp.sum(corner_idx * jnp.asarray(strides), axis=-1)  # [N, K]
+    flat_grid = grid.reshape(-1, grid.shape[-1])            # [prod, C]
+    return jnp.take(flat_grid, flat_idx, axis=0)            # [N, K, C]
+
+
 def grid_interp_coefficients(grid, pts, xmin=0.0, xmax=1.0):
     """Corner latents, multilinear weights, and relative coords for pts.
 
@@ -94,19 +115,9 @@ def grid_interp_coefficients(grid, pts, xmin=0.0, xmax=1.0):
         raise ValueError(
             f"pts last dim {pts.shape[-1]} != grid spatial rank {dim}")
     cell, frac = _locate(pts, spatial, xmin, xmax)
+    corner_feats = gather_corner_feats(grid, cell)          # [N, K, C]
 
-    offs = jnp.asarray(corner_offsets(dim))                 # [K, D] static
-    corner_idx = cell[:, None, :] + offs[None, :, :]        # [N, K, D]
-
-    # Flatten to 1-d gather: strides are static.
-    strides = np.ones(dim, dtype=np.int32)
-    for a in range(dim - 2, -1, -1):
-        strides[a] = strides[a + 1] * spatial[a + 1]
-    flat_idx = jnp.sum(corner_idx * jnp.asarray(strides), axis=-1)  # [N, K]
-    flat_grid = grid.reshape(-1, grid.shape[-1])            # [prod, C]
-    corner_feats = jnp.take(flat_grid, flat_idx, axis=0)    # [N, K, C]
-
-    offs_f = offs.astype(frac.dtype)
+    offs_f = jnp.asarray(corner_offsets(dim)).astype(frac.dtype)
     # weight = prod_d (offset ? frac : 1 - frac)
     per_axis = jnp.where(offs_f[None], frac[:, None, :], 1.0 - frac[:, None, :])
     weights = jnp.prod(per_axis, axis=-1)                   # [N, K]

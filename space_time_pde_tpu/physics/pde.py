@@ -135,8 +135,18 @@ class PDELayer:
     def equation_names(self) -> List[str]:
         return [n for n, _ in self._eqs]
 
+    def max_derivative_order(self) -> int:
+        """Highest derivative order across all lowered equations."""
+        order = 0
+        for _, _, atom_keys in self._lower_all():
+            for k in atom_keys:
+                if isinstance(k, tuple):
+                    order = max(order, len(k[1]))
+        return order
+
     def __call__(self, coords: Array, return_outs: bool = False,
-                 fwd: Optional[Callable[[Array], Array]] = None):
+                 fwd: Optional[Callable[[Array], Array]] = None,
+                 jet=None):
         """Evaluate residuals at coords [..., D] (normalized units).
 
         Returns dict {name: [...] residual per point}; with
@@ -145,16 +155,31 @@ class PDELayer:
         purely-functional path used inside jitted train steps (the
         reference's ``update_forward_method`` mutates layer state each
         step; here that is an optional convenience instead).
+
+        ``jet`` (fast path, requires every equation's derivative order
+        <= 2): either a callable ``coords -> (outs, jac, hess)`` or a
+        precomputed such tuple (``outs [..., V]``, ``jac [..., V, D]``,
+        ``hess [..., V, D, D]`` in fwd's normalized units — e.g. from
+        :func:`ops.jet.query_local_implicit_grid_jet`). One analytic jet
+        replaces all nested-jvp towers.
         """
-        if fwd is None:
-            fwd = self.fwd
-        if fwd is None:
-            raise RuntimeError("call update_forward_method(fwd) first")
         lowered = self._lower_all()
         needed = set()
         for _, _, atom_keys in lowered:
             needed.update(k for k in atom_keys if isinstance(k, tuple))
-        derivs = self._compute_derivs(coords, needed, fwd)
+        if jet is not None:
+            if self.max_derivative_order() > 2:
+                raise ValueError(
+                    "jet path supports derivative order <= 2; this "
+                    f"system needs order {self.max_derivative_order()}")
+            outs, jac, hess = jet(coords) if callable(jet) else jet
+            derivs = self._derivs_from_jet(coords, needed, outs, jac, hess)
+        else:
+            if fwd is None:
+                fwd = self.fwd
+            if fwd is None:
+                raise RuntimeError("call update_forward_method(fwd) first")
+            derivs = self._compute_derivs(coords, needed, fwd)
 
         coords_phys = self._physical_coords(coords)
         residuals = {}
@@ -172,10 +197,10 @@ class PDELayer:
         return residuals
 
     def residual_loss(self, coords: Array,
-                      fwd: Optional[Callable[[Array], Array]] = None
-                      ) -> Tuple[Array, Dict[str, Array]]:
+                      fwd: Optional[Callable[[Array], Array]] = None,
+                      jet=None) -> Tuple[Array, Dict[str, Array]]:
         """Mean-square residual per equation and their sum (the pde loss)."""
-        res = self(coords, fwd=fwd)
+        res = self(coords, fwd=fwd, jet=jet)
         per_eq = {n: jnp.mean(jnp.square(r)) for n, r in res.items()}
         total = sum(per_eq.values())
         return total, per_eq
@@ -316,4 +341,48 @@ class PDELayer:
                     val = val / denom
             out[(var, alpha)] = val
         assert raw[()].shape[-1] == V
+        return out
+
+    def _derivs_from_jet(self, coords: Array, needed: set,
+                         outs: Array, jac: Array, hess: Array):
+        """Derivative tensors from a precomputed analytic jet.
+
+        outs [..., V], jac [..., V, D], hess [..., V, D, D] are in the
+        forward method's normalized units; rescaling to physical units
+        matches ``_compute_derivs``.
+        """
+        stds = (jnp.asarray(self._out_stds, coords.dtype)
+                if self._out_stds is not None else None)
+        means = (jnp.asarray(self._out_means, coords.dtype)
+                 if self._out_means is not None else None)
+        scales = (jnp.asarray(self._coord_scales, coords.dtype)
+                  if self._coord_scales is not None else None)
+
+        out = {}
+        phys_primal = outs
+        if stds is not None:
+            phys_primal = phys_primal * stds
+        if means is not None:
+            phys_primal = phys_primal + means
+        out["__outs__"] = phys_primal
+
+        for var, alpha in needed:
+            c = self.out_var_names.index(var)
+            if alpha == ():
+                val = phys_primal[..., c]
+            else:
+                if len(alpha) == 1:
+                    val = jac[..., c, alpha[0]]
+                elif len(alpha) == 2:
+                    val = hess[..., c, alpha[0], alpha[1]]
+                else:
+                    raise ValueError(
+                        f"jet path got order-{len(alpha)} derivative")
+                if stds is not None:
+                    val = val * stds[c]
+                if scales is not None:
+                    denom = jnp.prod(jnp.asarray(
+                        [scales[a] for a in alpha], coords.dtype))
+                    val = val / denom
+            out[(var, alpha)] = val
         return out

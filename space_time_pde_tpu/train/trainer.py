@@ -146,6 +146,14 @@ def make_loss_fn(cfg: Config, unet: UNet3d, imnet: ImNet,
     forward = make_forward_fn(unet, imnet, query_fn)
     alpha = cfg.train.alpha_pde
     kind = cfg.train.reg_loss_type
+    # The analytic jet (ops/jet.py) replaces nested-jvp towers with one
+    # forward + D tangent passes; it is exact for the piecewise-linear
+    # ImNet and systems of derivative order <= 2, and supplies the reg
+    # prediction for free. Fall back to towers otherwise.
+    use_jet = (pde_layer is not None and alpha > 0
+               and query_fn is None
+               and getattr(cfg.train, "pde_derivs", "jet") == "jet"
+               and pde_layer.max_derivative_order() <= 2)
 
     def loss_fn(params, batch):
         lres = batch["lres"]
@@ -157,12 +165,21 @@ def make_loss_fn(cfg: Config, unet: UNet3d, imnet: ImNet,
         query = query_fn or query_local_implicit_grid
         fwd = lambda pts: query(decoder, latent, pts)
 
-        pred = fwd(coords)
+        if use_jet:
+            from space_time_pde_tpu.ops.jet import (
+                query_local_implicit_grid_jet,
+            )
+            pred, jac, hess = query_local_implicit_grid_jet(
+                decoder, latent, coords)
+        else:
+            pred = fwd(coords)
         reg = _reg_loss(kind, pred, target)
         metrics = {"reg_loss": reg}
 
         if pde_layer is not None and alpha > 0:
-            pde_total, per_eq = pde_layer.residual_loss(coords, fwd=fwd)
+            pde_total, per_eq = pde_layer.residual_loss(
+                coords, fwd=fwd,
+                jet=(pred, jac, hess) if use_jet else None)
             metrics["pde_loss"] = pde_total
             for n, v in per_eq.items():
                 metrics[f"pde/{n}"] = v

@@ -73,6 +73,7 @@ class TrainConfig:
     lr_schedule: str = "constant"   # constant | cosine
     ckpt_every_epochs: int = 1
     keep_checkpoints: int = 3
+    pde_derivs: str = "jet"         # jet | tower (see ops/jet.py)
 
 
 @dataclass
@@ -110,6 +111,7 @@ _FLAG_MAP = {
     "seed": ("train", "seed"),
     "num_devices": ("train", "num_devices"),
     "lr_schedule": ("train", "lr_schedule"),
+    "pde_derivs": ("train", "pde_derivs"),
     "data_folder": ("data", "data_folder"),
     "train_data": ("data", "train_data"),
     "eval_data": ("data", "eval_data"),
