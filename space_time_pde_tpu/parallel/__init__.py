@@ -1,4 +1,5 @@
 from space_time_pde_tpu.parallel.dp import (
+    make_dp_multi_step,
     make_dp_train_step,
     make_mesh,
     replicate_state,
@@ -6,5 +7,6 @@ from space_time_pde_tpu.parallel.dp import (
 )
 
 __all__ = [
-    "make_dp_train_step", "make_mesh", "replicate_state", "shard_batch",
+    "make_dp_multi_step", "make_dp_train_step", "make_mesh",
+    "replicate_state", "shard_batch",
 ]

@@ -26,8 +26,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from space_time_pde_tpu.train.trainer import TrainState
 
-__all__ = ["make_mesh", "make_dp_train_step", "replicate_state",
-           "shard_batch"]
+__all__ = ["make_mesh", "make_dp_train_step", "make_dp_multi_step",
+           "replicate_state", "shard_batch"]
 
 
 def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
@@ -59,18 +59,7 @@ def make_dp_train_step(loss_fn, tx: optax.GradientTransformation,
     size must be divisible by the mesh size.
     """
     mesh = make_mesh(n_devices, axis)
-
-    def shard_step(state: TrainState, batch):
-        (_, metrics), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params, batch)
-        grads = jax.lax.pmean(grads, axis)
-        metrics = jax.lax.pmean(metrics, axis)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        new_state = TrainState(step=state.step + 1, params=params,
-                               opt_state=opt_state, key=state.key)
-        metrics["grad_norm"] = optax.global_norm(grads)
-        return new_state, metrics
+    shard_step = _dp_step_body(loss_fn, tx, axis)
 
     mapped = jax.shard_map(
         shard_step, mesh=mesh,
@@ -84,3 +73,53 @@ def make_dp_train_step(loss_fn, tx: optax.GradientTransformation,
         return mapped(state, batch)
 
     return step, mesh
+
+
+def make_dp_multi_step(loss_fn, tx: optax.GradientTransformation,
+                       n_inner: int, n_devices: Optional[int] = None,
+                       axis: str = "data"):
+    """Data-parallel step chaining ``n_inner`` optimizer updates per
+    dispatch (lax.scan inside the shard_map).
+
+    step(state, stacked_batch): every batch array has a leading
+    [n_inner] axis (unsharded) and is sharded on ``axis`` along its
+    second (batch) axis. Returns (state after n_inner psum'd updates,
+    last step's metrics) — the multi-device analog of
+    ``trainer.make_multi_step`` (host/dispatch latency amortization
+    survives scaling out; round-1 left it single-device only).
+    """
+    mesh = make_mesh(n_devices, axis)
+    one = _dp_step_body(loss_fn, tx, axis)
+
+    def shard_step(state: TrainState, stacked):
+        state, metrics = jax.lax.scan(one, state, stacked)
+        return state, jax.tree.map(lambda m: m[-1], metrics)
+
+    mapped = jax.shard_map(
+        shard_step, mesh=mesh,
+        in_specs=(P(), P(None, axis)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def step(state: TrainState, stacked):
+        return mapped(state, stacked)
+
+    return step, mesh
+
+
+def _dp_step_body(loss_fn, tx, axis):
+    def shard_step(state: TrainState, batch):
+        (_, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, batch)
+        grads = jax.lax.pmean(grads, axis)
+        metrics = jax.lax.pmean(metrics, axis)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(step=state.step + 1, params=params,
+                               opt_state=opt_state, key=state.key)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return new_state, metrics
+
+    return shard_step

@@ -30,57 +30,103 @@ import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from space_time_pde_tpu.parallel.halo import (
-    bin_points_by_shard,
+    sharded_query_jet,
     sharded_query_local_implicit_grid,
 )
 from space_time_pde_tpu.train.trainer import TrainState
 
-__all__ = ["make_dp_sp_train_step", "make_dp_sp_batch"]
+__all__ = ["make_dp_sp_train_step", "make_dp_sp_batch",
+           "stack_dp_sp_batches"]
 
 
 def make_dp_sp_batch(batch: Dict[str, np.ndarray], n_space: int,
-                     n_nodes_x: int) -> Dict[str, np.ndarray]:
+                     n_nodes_x: int, m_round: int = 64
+                     ) -> Dict[str, np.ndarray]:
     """Bin each sample's points by x-shard; pad ragged bins + mask.
 
     In: point_coord [B, N, 3], point_value [B, N, V], lres [B, ...].
     Out: point_coord [B, S, M, 3], point_value [B, S, M, V],
     point_mask [B, S, M]; lres unchanged.
+
+    Fully vectorized over (batch, points) — this runs per step on the
+    host, so no Python per-sample/per-shard loops. ``m_round`` rounds
+    the ragged-bin pad size M up to a bucket multiple so the jitted
+    step sees a handful of static shapes instead of recompiling for
+    every distinct max-bin-count. Padded slots point at the shard's own
+    lower x bound (always in-range) and are masked out of every loss.
     """
     coords = batch["point_coord"]
     values = batch["point_value"]
-    b = coords.shape[0]
-    per_sample = []
-    for i in range(b):
-        binned, mask, inverse = bin_points_by_shard(
-            coords[i], n_space, n_nodes_x, coord_axis=2)
-        # Route values through the same permutation (argsort by shard).
-        m = binned.shape[1]
-        v = np.zeros((n_space, m, values.shape[-1]), values.dtype)
-        order = np.argsort(inverse, kind="stable")  # original -> sorted
-        vs = values[i][order]
-        starts = np.concatenate([[0], np.cumsum(mask.sum(1))[:-1]])
-        for s in range(n_space):
-            c = int(mask[s].sum())
-            v[s, :c] = vs[starts[s]:starts[s] + c]
-        per_sample.append((binned, v, mask))
-    m_max = max(p[0].shape[1] for p in per_sample)
+    b, n, d = coords.shape
+    n_loc = n_nodes_x // n_space
+    span = 1.0 / (n_nodes_x - 1)
 
-    def pad(a, m):
-        return np.pad(a, [(0, 0), (0, m - a.shape[1])] +
-                      [(0, 0)] * (a.ndim - 2))
+    x = coords[..., 2]
+    cellf = np.clip(x / span, 0, n_nodes_x - 1 - 1e-6)
+    shard = np.clip((cellf // n_loc).astype(np.int64), 0,
+                    n_space - 1)                               # [B, N]
+    order = np.argsort(shard, axis=1, kind="stable")           # [B, N]
+    sshard = np.take_along_axis(shard, order, axis=1)          # [B, N]
+    counts = (sshard[:, :, None]
+              == np.arange(n_space)[None, None]).sum(1)        # [B, S]
+    m_max = int(counts.max()) if n else 1
+    m = (max(m_round, -(-m_max // m_round) * m_round)
+         if m_round else m_max)
+    starts = np.concatenate(
+        [np.zeros((b, 1), counts.dtype), np.cumsum(counts, 1)[:, :-1]],
+        axis=1)                                                # [B, S]
+    rank = (np.arange(n)[None]
+            - np.take_along_axis(starts, sshard, axis=1))      # [B, N]
+    bidx = np.broadcast_to(np.arange(b)[:, None], (b, n))
+
+    pad_coord = np.zeros((n_space, d), coords.dtype)
+    pad_coord[:, 2] = np.arange(n_space) * n_loc * span
+    binned = np.broadcast_to(
+        pad_coord[None, :, None, :], (b, n_space, m, d)).copy()
+    vals = np.zeros((b, n_space, m, values.shape[-1]), values.dtype)
+    mask = np.zeros((b, n_space, m), np.float32)
+    binned[bidx, sshard, rank] = np.take_along_axis(
+        coords, order[..., None], axis=1)
+    vals[bidx, sshard, rank] = np.take_along_axis(
+        values, order[..., None], axis=1)
+    mask[bidx, sshard, rank] = 1.0
 
     out = dict(batch)
-    out["point_coord"] = np.stack([pad(p[0], m_max) for p in per_sample])
-    out["point_value"] = np.stack([pad(p[1], m_max) for p in per_sample])
-    out["point_mask"] = np.stack(
-        [pad(p[2].astype(np.float32), m_max) for p in per_sample])
+    out["point_coord"] = binned
+    out["point_value"] = vals
+    out["point_mask"] = mask
+    return out
+
+
+def stack_dp_sp_batches(batches) -> Dict[str, np.ndarray]:
+    """Stack G dp-sp batches along a new leading axis (for lax.scan
+    multi-step training); ragged M axes are edge-padded (the last slot
+    of each bin is always an in-range, masked-out point)."""
+    m = max(bb["point_coord"].shape[2] for bb in batches)
+
+    def pad_m(a, masked):
+        if a.shape[2] == m:
+            return a
+        width = [(0, 0)] * a.ndim
+        width[2] = (0, m - a.shape[2])
+        return np.pad(a, width, mode="constant" if masked else "edge")
+
+    out = {}
+    for k in batches[0]:
+        if k in ("point_coord", "point_value", "point_mask"):
+            out[k] = np.stack(
+                [pad_m(bb[k], masked=(k == "point_mask"))
+                 for bb in batches])
+        else:
+            out[k] = np.stack([bb[k] for bb in batches])
     return out
 
 
 def make_dp_sp_train_step(cfg, unet, imnet, pde_layer,
                           tx: optax.GradientTransformation,
                           n_data: int, n_space: int,
-                          sharded_encoder: bool = False):
+                          sharded_encoder: bool = False,
+                          n_inner: int = 1):
     """Build (jitted 2-D-mesh step, mesh, place).
 
     Batch layout (global): lres [B, t, z, x, C] sharded on 'data'
@@ -93,6 +139,12 @@ def make_dp_sp_train_step(cfg, unet, imnet, pde_layer,
     :class:`~space_time_pde_tpu.parallel.sharded_unet.ShardedUNet3d`
     (halo convs) consuming its own x-shard of the input — the full
     latent grid is never materialized on one device.
+
+    n_inner > 1: every batch array gains a leading [n_inner] axis (see
+    :func:`stack_dp_sp_batches`) and the step lax.scan-chains n_inner
+    optimizer updates per dispatch — the same host-latency
+    amortization as the single-device ``--inner_steps``, now on the
+    2-D mesh (metrics are the last inner step's).
     """
     devs = np.asarray(jax.devices()[:n_data * n_space]).reshape(
         n_data, n_space)
@@ -101,6 +153,9 @@ def make_dp_sp_train_step(cfg, unet, imnet, pde_layer,
     axes = ("data", "space")
     lres_spec = (P("data", None, None, "space", None)
                  if sharded_encoder else P("data"))
+    use_jet = (pde_layer is not None and alpha > 0
+               and getattr(cfg.train, "pde_derivs", "jet") == "jet"
+               and pde_layer.max_derivative_order() <= 2)
 
     def shard_step(state: TrainState, batch):
         def loss_fn(params):
@@ -137,14 +192,20 @@ def make_dp_sp_train_step(cfg, unet, imnet, pde_layer,
             fwd = lambda pts: sharded_query_local_implicit_grid(
                 decoder, latent_shard, pts, "space", x_nodes)
 
-            pred = fwd(coords)
+            if use_jet:
+                jet = sharded_query_jet(
+                    decoder, latent_shard, coords, "space", x_nodes)
+                pred = jet[0]
+            else:
+                jet = None
+                pred = fwd(coords)
             cnt = jax.lax.psum(jnp.sum(mask), axes) + 1e-8  # data only
             err2 = jnp.sum(jnp.square(pred - values), axis=-1)
             reg_local = jnp.sum(err2 * mask) / (cnt * values.shape[-1])
             metrics = {"reg_loss": jax.lax.psum(reg_local, axes)}
             loss_local = reg_local
             if pde_layer is not None and alpha > 0:
-                res = pde_layer(coords, fwd=fwd)
+                res = pde_layer(coords, fwd=fwd, jet=jet)
                 pde_local = 0.0
                 for name, r in res.items():
                     eq_local = jnp.sum(jnp.square(r) * mask) / cnt
@@ -165,12 +226,24 @@ def make_dp_sp_train_step(cfg, unet, imnet, pde_layer,
         metrics["grad_norm"] = optax.global_norm(grads)
         return new_state, metrics
 
+    if n_inner > 1:
+        def stacked_step(state: TrainState, stacked):
+            state, metrics = jax.lax.scan(shard_step, state, stacked)
+            return state, jax.tree.map(lambda m: m[-1], metrics)
+        body = stacked_step
+        pre = (None,)  # leading scan axis is unsharded
+    else:
+        body = shard_step
+        pre = ()
+
+    lres_spec_b = P(*pre, *lres_spec)
+    pts_spec_b = P(*pre, "data", "space")
     mapped = jax.shard_map(
-        shard_step, mesh=mesh,
-        in_specs=(P(), {"lres": lres_spec,
-                        "point_coord": P("data", "space"),
-                        "point_value": P("data", "space"),
-                        "point_mask": P("data", "space")}),
+        body, mesh=mesh,
+        in_specs=(P(), {"lres": lres_spec_b,
+                        "point_coord": pts_spec_b,
+                        "point_value": pts_spec_b,
+                        "point_mask": pts_spec_b}),
         out_specs=(P(), P()),
         check_vma=False,
     )
@@ -184,11 +257,11 @@ def make_dp_sp_train_step(cfg, unet, imnet, pde_layer,
         state = jax.tree.map(lambda x: jax.device_put(x, rep), state)
         placed = {
             "lres": jax.device_put(
-                batch["lres"], NamedSharding(mesh, lres_spec)),
+                batch["lres"], NamedSharding(mesh, lres_spec_b)),
         }
         for k in ("point_coord", "point_value", "point_mask"):
             placed[k] = jax.device_put(
-                batch[k], NamedSharding(mesh, P("data", "space")))
+                batch[k], NamedSharding(mesh, pts_spec_b))
         return state, placed
 
     return step, mesh, place

@@ -35,6 +35,7 @@ from space_time_pde_tpu.models import query_local_implicit_grid
 __all__ = [
     "halo_exchange",
     "sharded_query_local_implicit_grid",
+    "sharded_query_jet",
     "bin_points_by_shard",
     "shard_bounds",
 ]
@@ -106,6 +107,42 @@ def sharded_query_local_implicit_grid(
     xmin/xmax are the GLOBAL domain bounds (scalars or length-D).
     Returns [B, N_loc, out] — each device's values for its own points.
     """
+    grid_loc, xmin_loc, xmax_loc = _halo_and_local_bounds(
+        latent_shard, pts_shard, axis_name, n_nodes_global,
+        xmin, xmax, spatial_axis)
+    return query_local_implicit_grid(
+        decoder_fn, grid_loc, pts_shard, xmin_loc, xmax_loc)
+
+
+def sharded_query_jet(
+    decoder_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    latent_shard: jnp.ndarray,
+    pts_shard: jnp.ndarray,
+    axis_name: str,
+    n_nodes_global: int,
+    xmin=0.0,
+    xmax=1.0,
+    spatial_axis: int = -2,
+):
+    """Analytic jet (value/jac/hess) of the sharded query.
+
+    Same contract as :func:`sharded_query_local_implicit_grid`;
+    derivatives are w.r.t. the GLOBAL normalized point coordinates
+    (local bounds only relocate the cell math, not the units). Feeds
+    the PDE layer's jet fast path inside the dp x space train step.
+    """
+    from space_time_pde_tpu.ops.jet import query_local_implicit_grid_jet
+
+    grid_loc, xmin_loc, xmax_loc = _halo_and_local_bounds(
+        latent_shard, pts_shard, axis_name, n_nodes_global,
+        xmin, xmax, spatial_axis)
+    return query_local_implicit_grid_jet(
+        decoder_fn, grid_loc, pts_shard, xmin_loc, xmax_loc)
+
+
+def _halo_and_local_bounds(latent_shard, pts_shard, axis_name,
+                           n_nodes_global, xmin, xmax, spatial_axis):
+    """Halo-extend the shard and compute per-device domain bounds."""
     grid_loc = halo_exchange(latent_shard, axis_name, spatial_axis)
     dim = pts_shard.shape[-1]
     # Per-device bounds along the sharded axis; global elsewhere.
@@ -120,8 +157,7 @@ def sharded_query_local_implicit_grid(
     xmax_v = jnp.broadcast_to(jnp.asarray(xmax, jnp.float32), (dim,))
     xmin_loc = xmin_v.at[coord_axis].set(lo)
     xmax_loc = xmax_v.at[coord_axis].set(hi)
-    return query_local_implicit_grid(
-        decoder_fn, grid_loc, pts_shard, xmin_loc, xmax_loc)
+    return grid_loc, xmin_loc, xmax_loc
 
 
 def bin_points_by_shard(pts: np.ndarray, n_shards: int,

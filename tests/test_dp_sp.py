@@ -55,6 +55,73 @@ def test_make_dp_sp_batch_routing(setup):
                 assert np.all(xs >= 4 / 7 - 1e-6)
 
 
+def test_make_dp_sp_batch_pairs_and_padding(setup):
+    """Vectorized binning routes (coord, value) pairs intact and pads
+    with in-range points."""
+    cfg, ds, unet, imnet = setup
+    batch = ds.sample_batch(np.random.RandomState(5), 3)
+    sharded = make_dp_sp_batch(batch, n_space=2, n_nodes_x=8)
+    m = sharded["point_coord"].shape[2]
+    assert m % 64 == 0  # bucketed pad size (static-shape compile reuse)
+    for b in range(3):
+        orig = {tuple(np.round(c, 6)): v
+                for c, v in zip(batch["point_coord"][b],
+                                batch["point_value"][b])}
+        for s in range(2):
+            msk = sharded["point_mask"][b, s].astype(bool)
+            for c, v in zip(sharded["point_coord"][b, s][msk],
+                            sharded["point_value"][b, s][msk]):
+                key = tuple(np.round(c, 6))
+                assert key in orig
+                np.testing.assert_allclose(v, orig.pop(key))
+            # Padded slots lie inside shard s's x range.
+            pad_x = sharded["point_coord"][b, s][~msk][:, 2]
+            lo = s * 4 / 7.0
+            hi = (s + 1) * 4 / 7.0
+            assert np.all((pad_x >= lo - 1e-6) & (pad_x <= hi + 1e-6))
+        assert not orig  # every original point routed exactly once
+
+
+def test_dp_sp_multi_step_matches_sequential(setup):
+    """n_inner=G scan-chained dp x sp steps == G sequential steps."""
+    from space_time_pde_tpu.parallel.dp_sp import stack_dp_sp_batches
+
+    cfg, ds, unet, imnet = setup
+    cfg2 = Config.from_dict(cfg.to_dict())
+    cfg2.train.alpha_pde = 0.05
+    et, ez, ex = ds.coord_extents
+    pde = get_rb2_pde_layer(ds.channel_mean, ds.channel_std, et, ez, ex,
+                            rayleigh=1e4)
+    tx = optax.sgd(1e-2)
+    rng = np.random.RandomState(7)
+    batches = [make_dp_sp_batch(ds.sample_batch(rng, 4), 2, 8)
+               for _ in range(2)]
+
+    step1, _, place1 = make_dp_sp_train_step(
+        cfg2, unet, imnet, pde, tx, n_data=4, n_space=2)
+    state = init_state(jax.random.PRNGKey(3), cfg2, unet, imnet, tx)
+    seq = state
+    for b in batches:
+        seq, placed = place1(seq, {k: jnp.asarray(v) for k, v in b.items()})
+        seq, m_seq = step1(seq, placed)
+
+    stepG, _, placeG = make_dp_sp_train_step(
+        cfg2, unet, imnet, pde, tx, n_data=4, n_space=2, n_inner=2)
+    stacked = stack_dp_sp_batches(batches)
+    chained = init_state(jax.random.PRNGKey(3), cfg2, unet, imnet, tx)
+    chained, placed = placeG(chained, {k: jnp.asarray(v)
+                                       for k, v in stacked.items()})
+    chained, m_chn = stepG(chained, placed)
+
+    assert int(chained.step) == int(seq.step) == 2
+    np.testing.assert_allclose(float(m_chn["loss"]), float(m_seq["loss"]),
+                               rtol=1e-4)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6),
+        chained.params, seq.params)
+
+
 def test_dp_sp_step_matches_single_device(setup):
     cfg, ds, unet, imnet = setup
     tx = optax.sgd(1e-2)

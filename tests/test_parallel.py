@@ -104,3 +104,38 @@ def test_dp_step_with_pde_loss_runs(setup):
     assert np.isfinite(float(metrics["loss"]))
     assert np.isfinite(float(metrics["pde_loss"]))
     state, _ = dp_step(state, batch)  # reuses compiled graph
+
+
+def test_dp_multi_step_matches_sequential(setup):
+    """make_dp_multi_step(G) == G sequential make_dp_train_step calls."""
+    import optax
+
+    from space_time_pde_tpu.parallel import make_dp_multi_step
+
+    cfg, ds, unet, imnet = setup
+    tx = optax.sgd(1e-2)
+    loss_fn = make_loss_fn(cfg, unet, imnet, pde_layer=None)
+    rng = np.random.RandomState(9)
+    batches = [ds.sample_batch(rng, 8) for _ in range(3)]
+
+    step1, mesh = make_dp_train_step(loss_fn, tx, 8)
+    seq = replicate_state(
+        init_state(jax.random.PRNGKey(4), cfg, unet, imnet, tx), mesh)
+    for b in batches:
+        seq, m_seq = step1(seq, shard_batch(
+            {k: jnp.asarray(v) for k, v in b.items()}, mesh))
+
+    stepG, meshG = make_dp_multi_step(loss_fn, tx, 3, 8)
+    stacked = {k: jnp.asarray(np.stack([b[k] for b in batches]))
+               for k in batches[0]}
+    chained = replicate_state(
+        init_state(jax.random.PRNGKey(4), cfg, unet, imnet, tx), meshG)
+    chained, m_chn = stepG(chained, stacked)
+
+    assert int(chained.step) == int(seq.step) == 3
+    np.testing.assert_allclose(float(m_chn["loss"]), float(m_seq["loss"]),
+                               rtol=1e-4)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6),
+        chained.params, seq.params)
