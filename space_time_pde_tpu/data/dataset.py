@@ -39,6 +39,66 @@ CHANNELS = ("p", "b", "u", "w")
 FILTERS = ("none", "gaussian", "uniform", "median", "maximum")
 
 
+def _resample_axis(a: np.ndarray, axis: int, n_dst: int,
+                   method: str) -> np.ndarray:
+    """Endpoint-aligned 1-D resample of one axis (linear or nearest).
+
+    Sample positions are ``linspace(0, n_src - 1, n_dst)`` — identical
+    semantics (and nearest tie-breaking: the lower neighbor wins on an
+    exact half) to ``scipy.interpolate.RegularGridInterpolator``, but
+    with STATIC per-axis indices/weights so a whole batch resamples in
+    a few vectorized takes instead of a scattered-point scipy call.
+    """
+    n_src = a.shape[axis]
+    x = np.linspace(0, n_src - 1, n_dst)
+    i0 = np.minimum(np.floor(x).astype(np.int64), n_src - 2)
+    frac = x - i0
+    if method == "nearest":
+        return np.take(a, i0 + (frac > 0.5), axis=axis)
+    w = frac.reshape([n_dst if d == axis else 1 for d in range(a.ndim)])
+    w = w.astype(a.dtype)  # keep the blend in the array's dtype
+    lo = np.take(a, i0, axis=axis)
+    hi = np.take(a, i0 + 1, axis=axis)
+    return lo * (1.0 - w) + hi * w
+
+
+def _global_multilinear(data: np.ndarray, origins: np.ndarray,
+                        crop_sizes, pts: np.ndarray,
+                        method: str = "linear") -> np.ndarray:
+    """Vectorized trilinear read of crop-normalized points, directly
+    from the GLOBAL field array (no per-crop copies).
+
+    data: [T, Z, X, C]; origins: [B, 3] crop origins; crop_sizes:
+    (nt, nz, nx); pts: [B, N, 3] in [0,1]^3 crop coordinates ->
+    values [B, N, C]. Replaces the reference's per-item
+    ``scipy.interpolate.RegularGridInterpolator`` reads (SURVEY.md
+    §3.5) — the round-1 host-pipeline bottleneck — with 2^3 batched
+    corner gathers + blend (same multilinear math, so results match
+    the scipy oracle to float tolerance). Nearest ties (frac == 0.5)
+    resolve to the lower neighbor, matching scipy.
+    """
+    sizes = np.asarray(crop_sizes, np.float64)
+    s = np.clip(pts.astype(np.float64) * (sizes - 1), 0, sizes - 1)
+    cell = np.minimum(s.astype(np.int64), (sizes - 2).astype(np.int64))
+    cell = np.maximum(cell, 0)
+    frac = s - cell                                        # [B, N, 3]
+    g = cell + origins[:, None, :]                         # [B, N, 3] global
+    if method == "nearest":
+        idx = g + (frac > 0.5)
+        return data[idx[..., 0], idx[..., 1], idx[..., 2]]
+    out = 0.0
+    for ot in (0, 1):
+        for oz in (0, 1):
+            for ox in (0, 1):
+                w = ((frac[..., 0] if ot else 1 - frac[..., 0])
+                     * (frac[..., 1] if oz else 1 - frac[..., 1])
+                     * (frac[..., 2] if ox else 1 - frac[..., 2]))
+                vals = data[g[..., 0] + ot, g[..., 1] + oz,
+                            g[..., 2] + ox]                # [B, N, C]
+                out = out + w[..., None].astype(data.dtype) * vals
+    return out.astype(data.dtype)
+
+
 class RB2DataLoader:
     """Space-time crop dataset over an RB2D npz file.
 
@@ -179,13 +239,19 @@ class RB2DataLoader:
         return self.get_item(idx)
 
     def sample_crop(self, t0: int, z0: int, x0: int,
-                    rng: np.random.RandomState) -> Dict[str, np.ndarray]:
-        """One training item: lres input, query points, point values."""
+                    rng: np.random.RandomState,
+                    pts: Optional[np.ndarray] = None) -> Dict[str, np.ndarray]:
+        """One training item: lres input, query points, point values.
+
+        Per-item reference path (scipy interpolators), kept as the
+        numerical oracle for the vectorized :meth:`sample_batch`.
+        """
         hres = self._crop_at(t0, z0, x0)                  # [nt, nz, nx, 4]
         lres = self._degrade(hres)
 
         n = self.n_samp_pts_per_crop
-        pts = rng.rand(n, 3).astype(np.float32)           # [0,1]^3
+        if pts is None:
+            pts = rng.rand(n, 3).astype(np.float32)       # [0,1]^3
         axes = (np.linspace(0, 1, self.nt),
                 np.linspace(0, 1, self.nz),
                 np.linspace(0, 1, self.nx))
@@ -205,14 +271,103 @@ class RB2DataLoader:
 
     def sample_batch(self, rng: np.random.RandomState, batch_size: int
                      ) -> Dict[str, np.ndarray]:
-        """Stack batch_size random items (random crop origins)."""
+        """batch_size random items, assembled fully vectorized.
+
+        Numerically equivalent to stacking :meth:`sample_crop` items
+        (tested), but every stage — crop gather, anti-alias filter,
+        low-res resample, continuous-point reads — runs batched numpy,
+        so the host pipeline no longer bounds the TPU step rate (the
+        round-1 per-item scipy loop was the training-loop floor).
+        """
         o = self._origins
-        items = []
-        for _ in range(batch_size):
-            t0 = rng.randint(o[0]); z0 = rng.randint(o[1])
-            x0 = rng.randint(o[2])
-            items.append(self.sample_crop(t0, z0, x0, rng))
-        return {k: np.stack([it[k] for it in items]) for k in items[0]}
+        t0 = rng.randint(o[0], size=batch_size)
+        z0 = rng.randint(o[1], size=batch_size)
+        x0 = rng.randint(o[2], size=batch_size)
+        pts = rng.rand(batch_size, self.n_samp_pts_per_crop, 3
+                       ).astype(np.float32)
+        return self.batch_from_origins(t0, z0, x0, pts)
+
+    def batch_from_origins(self, t0, z0, x0, pts: np.ndarray
+                           ) -> Dict[str, np.ndarray]:
+        """Vectorized batch from explicit crop origins + query points.
+
+        t0/z0/x0: [B] crop origins; pts: [B, N, 3] in [0,1]^3.
+        """
+        b = len(t0)
+        origins = np.stack([np.asarray(t0), np.asarray(z0),
+                            np.asarray(x0)], axis=-1)     # [B, 3]
+        crop_sizes = (self.nt, self.nz, self.nx)
+
+        hres = None
+        if self.return_hres or self.lres_filter != "none":
+            # Only materialize full-res crops when something needs the
+            # whole field (anti-alias filtering / hres output).
+            hres = np.empty((b, *crop_sizes, self.data.shape[-1]),
+                            self.data.dtype)
+            for i in range(b):
+                hres[i] = self.data[t0[i]:t0[i] + self.nt,
+                                    z0[i]:z0[i] + self.nz,
+                                    x0[i]:x0[i] + self.nx]
+
+        if self.lres_filter != "none":
+            lres = self._filter_batch(hres)
+            for axis, n_dst in ((1, self.nt_l), (2, self.nz_l),
+                                (3, self.nx_l)):
+                lres = _resample_axis(lres, axis, n_dst, self.lres_interp)
+            lres = lres.astype(np.float32)
+        else:
+            # Unfiltered default path: read the endpoint-aligned lattice
+            # straight out of the global array — no crop copies at all.
+            lat = self._lattice_pts()                    # [L, 3] static
+            lat_b = np.broadcast_to(lat[None], (b, lat.shape[0], 3))
+            lres = _global_multilinear(
+                self.data, origins, crop_sizes, lat_b,
+                method=self.lres_interp)
+            lres = lres.reshape(b, self.nt_l, self.nz_l, self.nx_l,
+                                -1).astype(np.float32)
+
+        vals = _global_multilinear(self.data, origins, crop_sizes,
+                                   pts)                  # [B, N, 4]
+
+        mean, std = self.channel_mean, self.channel_std
+        batch = {
+            "lres": (lres - mean) / std,
+            "point_coord": pts,
+            "point_value": (vals - mean) / std,
+        }
+        if self.velonly:
+            batch["point_value"] = batch["point_value"][..., 2:4]
+        if self.return_hres:
+            batch["hres"] = (hres - mean) / std
+        return batch
+
+    def _lattice_pts(self) -> np.ndarray:
+        """Endpoint-aligned low-res lattice as [0,1]^3 points [L, 3]."""
+        tl = np.linspace(0.0, 1.0, self.nt_l)
+        zl = np.linspace(0.0, 1.0, self.nz_l)
+        xl = np.linspace(0.0, 1.0, self.nx_l)
+        TT, ZZ, XX = np.meshgrid(tl, zl, xl, indexing="ij")
+        return np.stack([TT, ZZ, XX], axis=-1).reshape(-1, 3)
+
+    def _filter_batch(self, crops: np.ndarray) -> np.ndarray:
+        """Anti-alias filter on (z, x), vectorized over batch/t/channel
+        (per-axis zero sigma/unit size keeps frames independent —
+        identical to the per-crop filter)."""
+        if self.lres_filter == "none":
+            return crops
+        size = max(self.downsamp_xz // 2 * 2 + 1, 3)
+        sigma = self.downsamp_xz / 2.0
+        if self.lres_filter == "gaussian":
+            return ndimage.gaussian_filter(
+                crops, sigma=(0, 0, sigma, sigma, 0))
+        if self.lres_filter == "uniform":
+            return ndimage.uniform_filter(
+                crops, size=(1, 1, size, size, 1))
+        if self.lres_filter == "median":
+            return ndimage.median_filter(
+                crops, size=(1, 1, size, size, 1))
+        return ndimage.maximum_filter(
+            crops, size=(1, 1, size, size, 1))
 
     # ------------------------------------------------------------------
 

@@ -148,3 +148,47 @@ def test_coord_extents(tg_npz):
     et, ez, ex = ds.coord_extents
     assert et == pytest.approx(7 * 0.05)
     assert ez == pytest.approx(15 * 2 * np.pi / 32)
+
+
+def test_vectorized_batch_matches_per_item_oracle(tg_npz):
+    """sample_batch's vectorized pipeline == per-item scipy path, for
+    every filter and both interpolation modes."""
+    import os
+    rng = np.random.RandomState(13)
+    for filt in ("none", "gaussian", "uniform", "median", "maximum"):
+        for interp in ("linear", "nearest"):
+            ds = RB2DataLoader(
+                data_folder=os.path.dirname(tg_npz),
+                data_filename=os.path.basename(tg_npz),
+                nt=8, nz=16, nx=16, n_samp_pts_per_crop=24,
+                downsamp_t=2, downsamp_xz=4,
+                lres_filter=filt, lres_interp=interp)
+            o = ds._origins
+            b = 3
+            t0 = rng.randint(o[0], size=b)
+            z0 = rng.randint(o[1], size=b)
+            x0 = rng.randint(o[2], size=b)
+            pts = rng.rand(b, 24, 3).astype(np.float32)
+            got = ds.batch_from_origins(t0, z0, x0, pts)
+            for i in range(b):
+                want = ds.sample_crop(int(t0[i]), int(z0[i]), int(x0[i]),
+                                      rng, pts=pts[i])
+                np.testing.assert_allclose(
+                    got["lres"][i], want["lres"], rtol=1e-5, atol=1e-5,
+                    err_msg=f"lres {filt}/{interp}")
+                np.testing.assert_allclose(
+                    got["point_value"][i], want["point_value"],
+                    rtol=1e-5, atol=1e-5,
+                    err_msg=f"values {filt}/{interp}")
+
+
+def test_vectorized_batch_velonly_and_hres(tg_npz):
+    import os
+    ds = RB2DataLoader(
+        data_folder=os.path.dirname(tg_npz),
+        data_filename=os.path.basename(tg_npz),
+        nt=4, nz=8, nx=8, n_samp_pts_per_crop=8,
+        downsamp_t=2, downsamp_xz=2, velonly=True, return_hres=True)
+    batch = ds.sample_batch(np.random.RandomState(0), 2)
+    assert batch["point_value"].shape == (2, 8, 2)
+    assert batch["hres"].shape == (2, 4, 8, 8, 4)
