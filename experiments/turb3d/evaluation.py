@@ -1,0 +1,163 @@
+"""turb3d evaluation driver (CLI): dense 4-D super-resolution.
+
+Loads a turb3d checkpoint, encodes a low-res 4-D window once, decodes
+the implicit field on the dense high-res (t, z, y, x) lattice in
+chunks (fused Pallas kernel on TPU — n_corners=16), reports rel-L2 vs
+ground truth, and saves the predicted fields as npz. The 4-D analog of
+experiments/rb2d/evaluation.py.
+
+Example:
+    python experiments/turb3d/evaluation.py \
+        --ckpt ./log/turb3d/checkpoints --data_folder ./data \
+        --eval_data abc_flow.npz --save_path ./log/turb3d/pred.npz
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from space_time_pde_tpu.utils.platform import maybe_force_platform
+maybe_force_platform()
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from space_time_pde_tpu.data.dataset4d import Field4DDataset
+from space_time_pde_tpu.models import ImNet, UNet4d, \
+    query_local_implicit_grid
+from space_time_pde_tpu.train.trainer import make_optimizer
+from space_time_pde_tpu.utils.checkpoint import CheckpointManager
+from space_time_pde_tpu.utils.config import Config
+
+from train import build_turb3d_models, init_state4d  # noqa: E402
+
+
+def dense_query4d(unet, imnet, params, lres, out_shape, chunk=32768,
+                  fused=None):
+    """Encode once, decode a [T,Z,Y,X] lattice in chunks -> [...,4]."""
+    latent = jax.jit(
+        lambda p, x: unet.apply({"params": p}, x))(params["unet"],
+                                                   lres[None])
+    if fused is None:
+        fused = jax.devices()[0].platform != "cpu"
+
+    if fused:
+        from space_time_pde_tpu.ops.fused_query import (
+            fused_query_local_implicit_grid,
+        )
+
+        @jax.jit
+        def query_chunk(p, pts):
+            return fused_query_local_implicit_grid(
+                imnet, p, latent, pts, block_pts=128, pad_to=0)
+    else:
+        @jax.jit
+        def query_chunk(p, pts):
+            return query_local_implicit_grid(
+                lambda v: imnet.apply({"params": p}, v), latent, pts)
+
+    axes = [np.linspace(0, 1, n, dtype=np.float32) for n in out_shape]
+    mesh = np.meshgrid(*axes, indexing="ij")
+    pts = np.stack(mesh, -1).reshape(-1, 4)
+    n = pts.shape[0]
+    pad = (-n) % chunk
+    pts = np.pad(pts, ((0, pad), (0, 0)))
+    outs = []
+    for i in range(0, pts.shape[0], chunk):
+        out = query_chunk(params["imnet"],
+                          jnp.asarray(pts[None, i:i + chunk]))
+        outs.append(np.asarray(out[0]))
+    return np.concatenate(outs)[:n].reshape(*out_shape, -1)
+
+
+def main():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--ckpt", type=str, required=True)
+    parser.add_argument("--data_folder", type=str, default=None)
+    parser.add_argument("--eval_data", type=str, default=None)
+    parser.add_argument("--eval_t0", type=int, default=0)
+    parser.add_argument("--save_path", type=str, default="turb3d_pred.npz")
+    parser.add_argument("--query_chunk", type=int, default=32768)
+    args = parser.parse_args()
+
+    mngr = CheckpointManager(args.ckpt)
+    _, extra = mngr.restore()
+    cfg = Config.from_dict(extra["config"])
+    targs = extra["turb3d_args"]
+
+    class A:
+        pass
+
+    a = A()
+    for k, v in targs.items():
+        setattr(a, k, float(v) if k == "viscosity" else int(v))
+    a.use_bf16 = cfg.model.use_bf16
+
+    ds = Field4DDataset(
+        data_folder=args.data_folder or cfg.data.data_folder,
+        data_filename=args.eval_data or cfg.data.eval_data,
+        nt=a.nt, nz=a.nz, ny=a.ny, nx=a.nx,
+        downsamp_t=a.downsamp_t, downsamp_xyz=a.downsamp_xyz)
+    ds.channel_mean = np.asarray(extra["channel_mean"], np.float32)
+    ds.channel_std = np.asarray(extra["channel_std"], np.float32)
+
+    unet, imnet = build_turb3d_models(a, ds.lres_shape)
+    tx = make_optimizer(cfg)
+    template = init_state4d(jax.random.PRNGKey(0), a, unet, imnet, tx,
+                            ds.lres_shape)
+    state, _ = mngr.restore(template)
+    print(f"restored step {int(state.step)}")
+
+    # Low-res window spanning the full spatial extent (crop-sized time).
+    t0 = args.eval_t0
+    window = ds.data[t0:t0 + a.nt]                # [nt, Z, Y, X, 4]
+    hi_shape = window.shape[:4]
+    lres_sizes = (max(2, a.nt // a.downsamp_t),
+                  max(2, hi_shape[1] // a.downsamp_xyz),
+                  max(2, hi_shape[2] // a.downsamp_xyz),
+                  max(2, hi_shape[3] // a.downsamp_xyz))
+    axes = [np.linspace(0, s - 1, l)
+            for s, l in zip(hi_shape, lres_sizes)]
+    from scipy.interpolate import RegularGridInterpolator
+    interp = RegularGridInterpolator(
+        [np.arange(s) for s in hi_shape], window)
+    mesh = np.meshgrid(*axes, indexing="ij")
+    lres = interp(np.stack(mesh, -1).reshape(-1, 4)).reshape(
+        *lres_sizes, -1).astype(np.float32)
+    lres = (lres - ds.channel_mean) / ds.channel_std
+
+    # Rebuild the encoder for this window's lres shape if it differs
+    # from the training crop (igres is a static UNet4d attribute).
+    if tuple(lres_sizes) != tuple(ds.lres_shape):
+        unet = UNet4d(in_features=4, out_features=a.lat_dims,
+                      igres=tuple(lres_sizes), nf=a.unet_nf,
+                      mf=a.unet_mf)
+
+    pred_n = dense_query4d(unet, imnet, state.params,
+                           jnp.asarray(lres), hi_shape,
+                           chunk=args.query_chunk)
+    pred = pred_n * ds.channel_std + ds.channel_mean
+    gt = window
+    rel = float(np.linalg.norm(pred - gt) / (np.linalg.norm(gt) + 1e-12))
+    per_ch = [float(np.linalg.norm(pred[..., c] - gt[..., c]) /
+                    (np.linalg.norm(gt[..., c]) + 1e-12))
+              for c in range(4)]
+    print(f"rel_l2 = {rel:.5f}  per-channel (p,u,v,w) = "
+          + " ".join(f"{v:.5f}" for v in per_ch))
+
+    os.makedirs(os.path.dirname(os.path.abspath(args.save_path)),
+                exist_ok=True)
+    np.savez_compressed(
+        args.save_path, p=pred[..., 0], u=pred[..., 1],
+        v=pred[..., 2], w=pred[..., 3], rel_l2=rel,
+        rel_l2_per_channel=np.asarray(per_ch))
+    print(f"saved predictions to {args.save_path}")
+    mngr.close()
+
+
+if __name__ == "__main__":
+    main()

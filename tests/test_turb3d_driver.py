@@ -1,0 +1,60 @@
+"""turb3d driver internals: 4-D dense query parity on CPU."""
+
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                "experiments", "turb3d"))
+
+from space_time_pde_tpu.models import ImNet, UNet4d  # noqa: E402
+
+
+def test_dense_query4d_matches_direct_query():
+    from evaluation import dense_query4d
+    from space_time_pde_tpu.models import query_local_implicit_grid
+
+    igres = (4, 4, 4, 4)
+    unet = UNet4d(in_features=4, out_features=8, igres=igres, nf=4)
+    imnet = ImNet(dim=4, in_features=8, out_features=4, nf=2)
+    key = jax.random.PRNGKey(0)
+    rng = np.random.RandomState(0)
+    lres = jnp.asarray(rng.randn(*igres, 4).astype(np.float32))
+    params = {
+        "unet": unet.init(key, lres[None])["params"],
+        "imnet": imnet.init(key, jnp.zeros((1, 12)))["params"],
+    }
+
+    out_shape = (5, 6, 6, 7)
+    pred = dense_query4d(unet, imnet, params, lres, out_shape,
+                         chunk=256, fused=False)
+    assert pred.shape == (*out_shape, 4)
+
+    latent = unet.apply({"params": params["unet"]}, lres[None])
+    axes = [np.linspace(0, 1, n, dtype=np.float32) for n in out_shape]
+    mesh = np.meshgrid(*axes, indexing="ij")
+    pts = jnp.asarray(np.stack(mesh, -1).reshape(1, -1, 4))
+    want = query_local_implicit_grid(
+        lambda v: imnet.apply({"params": params["imnet"]}, v), latent, pts)
+    np.testing.assert_allclose(
+        pred.reshape(-1, 4), np.asarray(want[0]), rtol=1e-5, atol=1e-5)
+
+
+def test_turb3d_config_roundtrip():
+    """make_config maps the 4-D flags onto the shared Config tree."""
+    import argparse
+
+    from train import add_turb3d_args, make_config
+
+    parser = argparse.ArgumentParser()
+    add_turb3d_args(parser)
+    args = parser.parse_args(
+        ["--lat_dims", "12", "--alpha_pde", "0.2", "--viscosity", "0.05"])
+    cfg = make_config(args)
+    assert cfg.model.lat_dims == 12
+    assert cfg.train.alpha_pde == 0.2
+    assert cfg.physics.viscosity == 0.05
+    assert cfg.physics.pde_system == "ns3d"
