@@ -35,7 +35,9 @@ from space_time_pde_tpu.train import (
     build_models, init_state, make_eval_fn, make_loss_fn, make_train_step,
 )
 from space_time_pde_tpu.train.trainer import make_optimizer
-from space_time_pde_tpu.parallel import make_dp_train_step, replicate_state
+from space_time_pde_tpu.parallel import (
+    make_dp_multi_step, make_dp_train_step, replicate_state,
+)
 from space_time_pde_tpu.utils import MetricsLogger, add_args, config_from_args
 from space_time_pde_tpu.utils.checkpoint import CheckpointManager
 
@@ -64,6 +66,13 @@ def main():
         "--sharded_encoder", action="store_true",
         help="with --space_devices > 1: use the halo-conv ShardedUNet3d "
              "so the input/latent grids are never whole on one device")
+    parser.add_argument(
+        "--device_data", type=lambda s: s.lower() in ("1", "true", "yes"),
+        default=True, metavar="BOOL",
+        help="assemble batches ON-DEVICE inside the jitted step (whole "
+             "field uploaded to HBM once; host only draws origins + "
+             "points). Auto-disabled for filtered low-res or "
+             "--space_devices > 1")
     args = parser.parse_args()
     cfg = config_from_args(args)
     if args.debug_nans:
@@ -103,10 +112,14 @@ def main():
     eval_ds.channel_std = ds.channel_std
 
     unet, imnet = build_models(cfg, ds.lres_shape)
+    plain_unet = unet
     if args.sharded_encoder:
         if args.space_devices < 2:
             raise SystemExit("--sharded_encoder requires --space_devices>1")
         from space_time_pde_tpu.parallel.sharded_unet import ShardedUNet3d
+        # Identical parameter pytree to UNet3d (tested), so init, eval
+        # and checkpoints all go through the plain module; only the
+        # training step's apply uses the halo-conv layout.
         unet = ShardedUNet3d(
             in_features=cfg.model.in_channels,
             out_features=cfg.model.lat_dims, igres=tuple(ds.lres_shape),
@@ -126,29 +139,23 @@ def main():
     batch_per_step = cfg.train.batch_size_per_gpu * n_data_ranks
     steps_per_epoch = max(1, cfg.train.pseudo_epoch_size // batch_per_step)
     tx = make_optimizer(cfg, steps_per_epoch)
-    if args.sharded_encoder:
-        from space_time_pde_tpu.parallel.sharded_unet import (
-            init_sharded_unet_params,
-        )
-        from space_time_pde_tpu.train.trainer import TrainState
-        key = jax.random.PRNGKey(cfg.train.seed)
-        params = {
-            "unet": init_sharded_unet_params(
-                key, unet, jnp.zeros((1, *ds.lres_shape,
-                                      cfg.model.in_channels)))["params"],
-            "imnet": imnet.init(
-                key, jnp.zeros((1, 3 + cfg.model.lat_dims)))["params"],
-        }
-        state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
-                           opt_state=tx.init(params), key=key)
-        loss_fn = None  # dp_sp builds its own loss
-    else:
-        state = init_state(jax.random.PRNGKey(cfg.train.seed), cfg, unet,
-                           imnet, tx)
-        loss_fn = make_loss_fn(cfg, unet, imnet, pde_layer)
+    # State always initializes through the plain UNet3d — ShardedUNet3d
+    # has the identical parameter pytree.
+    state = init_state(jax.random.PRNGKey(cfg.train.seed), cfg,
+                       plain_unet, imnet, tx)
+    loss_fn = (None if args.sharded_encoder  # dp_sp builds its own loss
+               else make_loss_fn(cfg, unet, imnet, pde_layer))
     inner = max(1, args.inner_steps)
     n_space = max(1, args.space_devices)
     place_fn = None
+    from space_time_pde_tpu.data.device_pipeline import DeviceSampler
+    sampler = None
+    if (args.device_data and n_space == 1 and loss_fn is not None
+            and DeviceSampler.supported(ds)):
+        sampler = DeviceSampler(ds)
+        loss_fn = sampler.wrap_loss(loss_fn)
+        print("device-data pipeline: batch assembly fused into the "
+              "jitted step (host sends origins+points only)")
     if n_space > 1:
         from space_time_pde_tpu.parallel.dp_sp import (
             make_dp_sp_batch, make_dp_sp_train_step,
@@ -158,29 +165,22 @@ def main():
             f"--space_devices {n_space} must divide device count {ndev}")
         step_fn, mesh, place_fn = make_dp_sp_train_step(
             cfg, unet, imnet, pde_layer, tx, n_data, n_space,
-            sharded_encoder=args.sharded_encoder)
+            sharded_encoder=args.sharded_encoder, n_inner=inner)
         x_nodes = ds.lres_shape[2]
         sp_batch = lambda b: make_dp_sp_batch(b, n_space, x_nodes)
-        inner = 1
+    elif ndev > 1 and inner > 1:
+        step_fn, mesh = make_dp_multi_step(loss_fn, tx, inner, ndev)
+        state = replicate_state(state, mesh)
     elif ndev > 1:
         step_fn, mesh = make_dp_train_step(loss_fn, tx, ndev)
         state = replicate_state(state, mesh)
-        inner = 1  # multi-step chaining is single-device for now
     elif inner > 1:
         from space_time_pde_tpu.train.trainer import make_multi_step
         step_fn = make_multi_step(loss_fn, tx, inner)
     else:
         step_fn = make_train_step(loss_fn, tx)
-    if args.sharded_encoder:
-        # Halo modules need a mesh even for eval; a 1-device shard_map
-        # reproduces the unsharded computation.
-        from jax.sharding import Mesh, PartitionSpec as P
-        mesh1 = Mesh(np.asarray(jax.devices()[:1]), ("space",))
-        eval_fn = jax.jit(jax.shard_map(
-            make_eval_fn(cfg, unet, imnet, jit=False), mesh=mesh1,
-            in_specs=(P(), P()), out_specs=P(), check_vma=False))
-    else:
-        eval_fn = make_eval_fn(cfg, unet, imnet)
+    # Eval always runs the plain module (same params either way).
+    eval_fn = make_eval_fn(cfg, plain_unet, imnet)
 
     ckpt_dir = os.path.join(cfg.train.log_dir, "checkpoints")
     mngr = CheckpointManager(ckpt_dir, keep=cfg.train.keep_checkpoints)
@@ -202,7 +202,27 @@ def main():
     # Background host thread keeps batches ready while the TPU steps
     # (replaces the reference's DataLoader worker subprocesses).
     from space_time_pde_tpu.data.prefetch import BatchPrefetcher
-    if n_space > 1:
+    if sampler is not None:
+        if inner > 1:
+            def _make_raw():
+                os_, ps_ = zip(*[sampler.draw(rng, batch_per_step)
+                                 for _ in range(inner)])
+                return {"origins": np.stack(os_),
+                        "point_coord": np.stack(ps_)}
+        else:
+            def _make_raw():
+                o, p = sampler.draw(rng, batch_per_step)
+                return {"origins": o, "point_coord": p}
+        prefetcher = BatchPrefetcher(_make_raw, depth=4)
+    elif n_space > 1 and inner > 1:
+        from space_time_pde_tpu.parallel.dp_sp import stack_dp_sp_batches
+
+        def _make():
+            return stack_dp_sp_batches(
+                [sp_batch(ds.sample_batch(rng, batch_per_step))
+                 for _ in range(inner)])
+        prefetcher = BatchPrefetcher(_make, depth=4)
+    elif n_space > 1:
         prefetcher = BatchPrefetcher(
             lambda: sp_batch(ds.sample_batch(rng, batch_per_step)),
             depth=4)

@@ -68,6 +68,12 @@ class HaloConv3d(nn.Module):
     kernel must be odd in x for stride 1. For stride 2 (kernel 3) the
     local x size must be even; geometry matches XLA SAME padding
     (pad_left=1, pad_right=0 when X is even).
+
+    Parameters are ``kernel``/``bias`` at THIS module's scope with
+    ``nn.Conv``'s shapes and initializers, so a HaloConv3d named like a
+    plain ``nn.Conv`` produces an IDENTICAL parameter subtree — the
+    property that makes UNet3d and ShardedUNet3d checkpoints
+    interchangeable (one checkpoint, either execution layout).
     """
 
     features: int
@@ -92,10 +98,26 @@ class HaloConv3d(nn.Module):
         else:
             raise ValueError(f"unsupported x stride {sx}")
         h = halo_exchange_x(x, self.axis_name, left, right)
-        return nn.Conv(
-            self.features, (kt, kz, kx), strides=(st, sz, sx),
-            padding=(((kt - 1) // 2,) * 2, ((kz - 1) // 2,) * 2, (0, 0)),
-            use_bias=self.use_bias, dtype=self.dtype, name="conv")(h)
+
+        def same_pad(n, k, s):
+            # XLA SAME: out = ceil(n/s); extra padding goes HIGH.
+            total = max((-(-n // s) - 1) * s + k - n, 0)
+            return (total // 2, total - total // 2)
+
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (kt, kz, kx, x.shape[-1], self.features))
+        y = jax.lax.conv_general_dilated(
+            h.astype(self.dtype), kernel.astype(self.dtype),
+            window_strides=(st, sz, sx),
+            padding=(same_pad(x.shape[1], kt, st),
+                     same_pad(x.shape[2], kz, sz), (0, 0)),
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,))
+            y = y + bias.astype(self.dtype)
+        return y
 
 
 class ShardedGroupNorm(nn.Module):

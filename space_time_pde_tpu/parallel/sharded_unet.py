@@ -6,14 +6,15 @@ than one chip's HBM — the latent shard feeds
 ``parallel.halo.sharded_query_local_implicit_grid`` directly with no
 re-sharding.
 
-Same topology as ``models.UNet3d`` (bottleneck ResBlocks, strided
-downsampling doubling filters, skip concat, same-resolution latent
-head) built from :mod:`parallel.halo_conv` pieces; upsampling is
-nearest-repeat + halo conv (a transposed conv's scatter pattern doesn't
-decompose into one-hop halos; repeat+conv does, and is the standard
-substitute). Must run inside ``shard_map`` with the x axis sharded; a
-mesh axis of size 1 reproduces the unsharded computation exactly
-(tested), so the same module serves both.
+Same topology AND the same parameter pytree as ``models.UNet3d``
+(bottleneck ResBlocks, strided downsampling doubling filters,
+transposed-conv upsampling, skip concat, same-resolution latent head),
+built from :mod:`parallel.halo_conv` pieces. The k=2/s=2 transposed
+convs are non-overlapping scatters — purely shard-local along x — and
+HaloConv3d exposes ``nn.Conv``-shaped params at its own scope, so a
+checkpoint trained with either module restores into the other
+unchanged (tested: same params, UNet3d vs 1-shard vs 4-shard execution
+agree). Must run inside ``shard_map`` with the x axis sharded.
 """
 
 from __future__ import annotations
@@ -119,10 +120,12 @@ class ShardedUNet3d(nn.Module):
         for i in reversed(range(lv)):
             skip = skips[i]
             ch = skip.shape[-1]
-            for ax in (1, 2, 3):           # nearest x2 (local, x incl.)
-                h = jnp.repeat(h, 2, axis=ax)
-            h = act(HaloConv3d(ch, (3, 3, 3), axis_name=self.axis_name,
-                               dtype=self.dtype, name=f"up{i}")(h))
+            # Transposed conv k=2 s=2: every output voxel receives
+            # exactly ONE input contribution (non-overlapping scatter),
+            # so it is purely shard-LOCAL along x — no halo needed, and
+            # parameters/math are identical to models.UNet3d's up{i}.
+            h = act(nn.ConvTranspose(ch, (2, 2, 2), strides=(2, 2, 2),
+                                     dtype=self.dtype, name=f"up{i}")(h))
             h = jnp.concatenate([h, skip], axis=-1)
             h = ShardedResBlock3D(max(ch // 2, 1), ch, self.axis_name,
                                   self.negative_slope, self.dtype,

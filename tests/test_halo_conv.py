@@ -77,10 +77,12 @@ def test_halo_conv_matches_unsharded_same_conv(stride):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
     # And the n=1 path must equal a plain flax SAME conv.
+    # HaloConv3d exposes nn.Conv-shaped params at its own scope
+    # (checkpoint interchangeability with plain convs).
     ref = nn.Conv(5, (3, 3, 3), strides=(1, 1, stride),
                   padding="SAME").apply(
-        {"params": {"kernel": params["params"]["conv"]["kernel"],
-                    "bias": params["params"]["conv"]["bias"]}}, x)
+        {"params": {"kernel": params["params"]["kernel"],
+                    "bias": params["params"]["bias"]}}, x)
     np.testing.assert_allclose(np.asarray(want), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
 

@@ -145,3 +145,36 @@ def test_dp_sp_with_sharded_encoder():
     assert np.isfinite(float(metrics["grad_norm"]))
     state, m2 = step(state, placed)
     assert float(m2["loss"]) < float(metrics["loss"]) * 1.5
+
+
+def test_unet3d_checkpoint_interchangeable_with_sharded():
+    """ONE parameter set runs identically through models.UNet3d and
+    ShardedUNet3d at any shard count (checkpoint interchangeability —
+    a --sharded_encoder checkpoint restores into evaluation.py's plain
+    UNet3d and vice versa)."""
+    from space_time_pde_tpu.models import UNet3d
+
+    igres = (4, 16, 32)
+    plain = UNet3d(in_features=4, out_features=8, igres=igres, nf=8)
+    sharded = ShardedUNet3d(in_features=4, out_features=8, igres=igres,
+                            nf=8)
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.randn(2, *igres, 4).astype(np.float32))
+
+    params = plain.init(jax.random.PRNGKey(3), x)
+    # Identical parameter pytrees (names AND shapes).
+    sh_params = jax.jit(jax.shard_map(
+        lambda xs: sharded.init(jax.random.PRNGKey(3), xs), mesh=_mesh(1),
+        in_specs=(SPEC,), out_specs=P(), check_vma=False))(x)
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(sh_params))
+    jax.tree.map(lambda a, b: np.testing.assert_equal(a.shape, b.shape),
+                 params, sh_params)
+
+    want = plain.apply(params, x)
+    got1 = _apply(sharded, params, x, 1)
+    got4 = _apply(sharded, params, x, 4)
+    np.testing.assert_allclose(np.asarray(got1), np.asarray(want),
+                               rtol=5e-5, atol=5e-5)
+    np.testing.assert_allclose(np.asarray(got4), np.asarray(want),
+                               rtol=5e-5, atol=5e-5)
