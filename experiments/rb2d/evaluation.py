@@ -37,15 +37,17 @@ from space_time_pde_tpu.utils.config import Config, add_args
 
 
 def dense_query(unet, imnet, params, lres, out_shape, chunk=65536,
-                fused=None):
+                fused=None, batch_stats=None):
     """Encode once, decode a [T,Z,X] lattice in chunks -> [T,Z,X,4].
 
     fused=None auto-selects the Pallas fused kernel on TPU (the
     north-star throughput path) and the jnp path elsewhere.
+    batch_stats: running stats for norm="batch" checkpoints.
     """
-    latent = jax.jit(
-        lambda p, x: unet.apply({"params": p}, x))(params["unet"],
-                                                   lres[None])
+    uvars = {"params": params["unet"]}
+    if batch_stats is not None:
+        uvars["batch_stats"] = batch_stats
+    latent = jax.jit(lambda v, x: unet.apply(v, x))(uvars, lres[None])
     if fused is None:
         fused = jax.devices()[0].platform != "cpu"
 
@@ -99,7 +101,18 @@ def main():
         help="evaluate N windows evenly spaced through the data "
              "(starting at --eval_t0) and report mean/std rel-L2; "
              "npz/frames/animation come from the first window")
+    parser.add_argument(
+        "--split", choices=["custom", "val", "test"], default="custom",
+        help="named split protocol (data/splits.py): 'val'/'test' pick "
+             "the canonical independent-simulation file (unless "
+             "--eval_data is given) and that split's deterministic "
+             "windows; 'custom' keeps --eval_t0/--eval_windows behavior")
     args = parser.parse_args()
+    # Flags the user actually typed (vs argparse defaults) — needed so a
+    # CLI value can also override a checkpointed value BACK to a
+    # flag's default.
+    explicit = {a[2:].split("=")[0] for a in sys.argv[1:]
+                if a.startswith("--")}
 
     mngr = CheckpointManager(args.ckpt)
     raw_state, extra = mngr.restore()
@@ -109,9 +122,13 @@ def main():
     # CLI data flags override the checkpointed data config.
     for flag in ("data_folder", "eval_data", "nt", "nz", "nx",
                  "downsamp_t", "downsamp_xz", "lres_filter", "lres_interp"):
-        v = getattr(args, flag, None)
-        if v is not None and v != parser.get_default(flag):
-            setattr(cfg.data, flag, v)
+        if flag in explicit:
+            setattr(cfg.data, flag, getattr(args, flag))
+    if args.split != "custom" and "eval_data" not in explicit:
+        from space_time_pde_tpu.data.splits import SplitSpec
+        cfg.data.eval_data = getattr(SplitSpec.canonical(),
+                                     f"{args.split}_data")
+        print(f"split={args.split}: evaluating {cfg.data.eval_data}")
 
     ds = RB2DataLoader(
         data_folder=cfg.data.data_folder, data_filename=cfg.data.eval_data,
@@ -133,10 +150,18 @@ def main():
 
     T_hi = eval_nt
     Z_hi, X_hi = ds.data.shape[1], ds.data.shape[2]
-    n_windows = max(1, args.eval_windows)
-    max_t0 = ds.data.shape[0] - eval_nt
-    t0s = np.unique(np.linspace(args.eval_t0, max_t0, n_windows)
-                    .astype(int))
+    if args.split != "custom":
+        from space_time_pde_tpu.data.splits import test_windows, \
+            val_windows
+        n_windows = (args.eval_windows if "eval_windows" in explicit
+                     else 4)
+        pick = val_windows if args.split == "val" else test_windows
+        t0s = pick(ds.data.shape[0], eval_nt, n_windows)
+    else:
+        n_windows = max(1, args.eval_windows)
+        max_t0 = ds.data.shape[0] - eval_nt
+        t0s = np.unique(np.linspace(args.eval_t0, max_t0, n_windows)
+                        .astype(int))
 
     all_rel, all_per_ch = [], []
     pred = gt = None
@@ -144,7 +169,8 @@ def main():
         lres = (lres0 if t0 == args.eval_t0
                 else jnp.asarray(ds.full_lres_sequence(int(t0), eval_nt)))
         pred_n = dense_query(unet, imnet, state.params, lres,
-                             (T_hi, Z_hi, X_hi), chunk=args.query_chunk)
+                             (T_hi, Z_hi, X_hi), chunk=args.query_chunk,
+                             batch_stats=state.batch_stats)
         pred_w = pred_n * ds.channel_std + ds.channel_mean    # denormalize
         gt_w = ds.data[t0:t0 + eval_nt]
         rel = np.linalg.norm(pred_w - gt_w) / (np.linalg.norm(gt_w)

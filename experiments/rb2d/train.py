@@ -67,6 +67,19 @@ def main():
         help="with --space_devices > 1: use the halo-conv ShardedUNet3d "
              "so the input/latent grids are never whole on one device")
     parser.add_argument(
+        "--multihost", action="store_true",
+        help="join a multi-host run: jax.distributed.initialize() "
+             "(coordinator/process id from the TPU-pod environment), "
+             "mesh built over GLOBAL devices, per-process host batches "
+             "assembled into global arrays. Data-parallel paths only.")
+    parser.add_argument(
+        "--val_data", type=str, default="",
+        help="validation-split npz (overrides --eval_data). Protocol "
+             "(data/splits.py): train/val/test are INDEPENDENT "
+             "simulations; the per-epoch eval and best-checkpoint "
+             "selection use val; report test numbers via "
+             "evaluation.py --split test")
+    parser.add_argument(
         "--device_data", type=lambda s: s.lower() in ("1", "true", "yes"),
         default=True, metavar="BOOL",
         help="assemble batches ON-DEVICE inside the jitted step (whole "
@@ -75,6 +88,8 @@ def main():
              "--space_devices > 1")
     args = parser.parse_args()
     cfg = config_from_args(args)
+    if args.val_data:
+        cfg.data.eval_data = args.val_data
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
 
@@ -86,8 +101,30 @@ def main():
             f"unknown --pde_system {cfg.physics.pde_system!r}; "
             f"available: {available_systems()}")
 
-    ndev = cfg.train.num_devices or jax.local_device_count()
+    n_proc, proc_id = 1, 0
+    if args.multihost:
+        from space_time_pde_tpu.parallel import init_multihost
+        proc_id, n_proc = init_multihost()
+        if args.space_devices > 1:
+            raise SystemExit("--multihost currently covers the "
+                             "data-parallel paths; combine with "
+                             "--space_devices in-slice instead")
+        print(f"multihost: process {proc_id}/{n_proc}, "
+              f"{jax.local_device_count()} local of "
+              f"{jax.device_count()} global devices")
+
+    ndev = cfg.train.num_devices or (
+        jax.device_count() if args.multihost else jax.local_device_count())
     print(f"devices: {jax.devices()}; using {ndev} for data parallelism")
+
+    if cfg.data.velonly:
+        # Predict (u, w) only (reference dataset flag). The PDE systems
+        # need all four fields, so physics loss is regression-only here.
+        cfg.model.out_channels = 2
+        if cfg.train.alpha_pde > 0:
+            raise SystemExit(
+                "--velonly predicts (u, w) only; the PDE residuals need "
+                "all 4 fields — set --alpha_pde 0")
 
     ds = RB2DataLoader(
         data_folder=cfg.data.data_folder,
@@ -97,7 +134,8 @@ def main():
         downsamp_t=cfg.data.downsamp_t, downsamp_xz=cfg.data.downsamp_xz,
         normalize_output=cfg.data.normalize_channels,
         lres_filter=cfg.data.lres_filter,
-        lres_interp=cfg.data.lres_interp)
+        lres_interp=cfg.data.lres_interp,
+        velonly=cfg.data.velonly)
     eval_ds = RB2DataLoader(
         data_folder=cfg.data.data_folder,
         data_filename=cfg.data.eval_data,
@@ -106,12 +144,20 @@ def main():
         downsamp_t=cfg.data.downsamp_t, downsamp_xz=cfg.data.downsamp_xz,
         normalize_output=cfg.data.normalize_channels,
         lres_filter=cfg.data.lres_filter,
-        lres_interp=cfg.data.lres_interp)
+        lres_interp=cfg.data.lres_interp,
+        velonly=cfg.data.velonly)
     # Share train-set statistics with the eval set (reference behavior).
     eval_ds.channel_mean = ds.channel_mean
     eval_ds.channel_std = ds.channel_std
 
-    unet, imnet = build_models(cfg, ds.lres_shape)
+    if cfg.model.norm == "batch" and args.space_devices > 1:
+        raise SystemExit("--norm batch is supported on the data-parallel "
+                         "paths only (not --space_devices > 1); the "
+                         "default GroupNorm is shard-exact everywhere")
+    unet, imnet = build_models(
+        cfg, ds.lres_shape,
+        bn_axis_name="data" if (cfg.model.norm == "batch" and ndev > 1)
+        else None)
     plain_unet = unet
     if args.sharded_encoder:
         if args.space_devices < 2:
@@ -124,7 +170,8 @@ def main():
             in_features=cfg.model.in_channels,
             out_features=cfg.model.lat_dims, igres=tuple(ds.lres_shape),
             nf=cfg.model.unet_nf, mf=cfg.model.unet_mf,
-            negative_slope=cfg.model.negative_slope)
+            negative_slope=cfg.model.negative_slope,
+            activation=cfg.model.activation)
     et, ez, ex = ds.coord_extents
     pde_layer = get_pde_layer(
         cfg.physics.pde_system,
@@ -193,11 +240,29 @@ def main():
         start_epoch = int(extra.get("epoch", 0)) + 1
         print(f"resumed from step {int(state.step)} (epoch {start_epoch})")
 
-    logger = MetricsLogger(cfg.train.log_dir)
-    rng = np.random.RandomState(cfg.train.seed)
+    # Multihost: every process participates in checkpoint saves (orbax
+    # coordinates shard writes into ONE shared directory), but only
+    # process 0 writes metrics/tfevents.
+    logger = (MetricsLogger(cfg.train.log_dir) if proc_id == 0
+              else None)
+    # Multihost: each process draws a DIFFERENT stream of training
+    # crops (its slice of the global batch) but the SAME eval batch.
+    rng = np.random.RandomState(cfg.train.seed + 1000 * proc_id)
     eval_rng = np.random.RandomState(cfg.train.seed + 1)
+    local_rows = batch_per_step // n_proc
+    assert local_rows * n_proc == batch_per_step, (
+        f"global batch {batch_per_step} not divisible by "
+        f"{n_proc} processes")
     eval_batch = {k: jnp.asarray(v) for k, v in
                   eval_ds.sample_batch(eval_rng, batch_per_step).items()}
+    if n_proc > 1:
+        # Same seed on every process => identical full batch; declare it
+        # replicated over the mesh so eval composes with global params.
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        repl = NamedSharding(mesh, P())
+        eval_batch = {
+            k: jax.make_array_from_process_local_data(repl, np.asarray(v))
+            for k, v in eval_batch.items()}
 
     # Background host thread keeps batches ready while the TPU steps
     # (replaces the reference's DataLoader worker subprocesses).
@@ -205,13 +270,13 @@ def main():
     if sampler is not None:
         if inner > 1:
             def _make_raw():
-                os_, ps_ = zip(*[sampler.draw(rng, batch_per_step)
+                os_, ps_ = zip(*[sampler.draw(rng, local_rows)
                                  for _ in range(inner)])
                 return {"origins": np.stack(os_),
                         "point_coord": np.stack(ps_)}
         else:
             def _make_raw():
-                o, p = sampler.draw(rng, batch_per_step)
+                o, p = sampler.draw(rng, local_rows)
                 return {"origins": o, "point_coord": p}
         prefetcher = BatchPrefetcher(_make_raw, depth=4)
     elif n_space > 1 and inner > 1:
@@ -230,13 +295,13 @@ def main():
         import numpy as _np
 
         def _make():
-            bs = [ds.sample_batch(rng, batch_per_step)
+            bs = [ds.sample_batch(rng, local_rows)
                   for _ in range(inner)]
             return {k: _np.stack([b[k] for b in bs]) for k in bs[0]}
         prefetcher = BatchPrefetcher(_make, depth=4)
     else:
         prefetcher = BatchPrefetcher(
-            lambda: ds.sample_batch(rng, batch_per_step), depth=4)
+            lambda: ds.sample_batch(rng, local_rows), depth=4)
 
     import contextlib
 
@@ -248,13 +313,25 @@ def main():
         t0 = time.time()
         with profile_ctx:
             for _ in range(max(1, steps_per_epoch // inner)):
-                batch = {k: jnp.asarray(v)
-                         for k, v in prefetcher.get().items()}
+                raw = prefetcher.get()
+                if n_proc > 1:
+                    from space_time_pde_tpu.parallel import global_batch
+                    batch = global_batch(
+                        raw, mesh, batch_axis=1 if inner > 1 else 0)
+                else:
+                    batch = {k: jnp.asarray(v) for k, v in raw.items()}
                 if place_fn is not None:
                     state, batch = place_fn(state, batch)
                 state, metrics = step_fn(state, batch)
             jax.block_until_ready(state.params)
         metrics = {k: float(v) for k, v in metrics.items()}
+        if not all(np.isfinite(v) for v in metrics.values()):
+            bad = {k: v for k, v in metrics.items()
+                   if not np.isfinite(v)}
+            raise SystemExit(
+                f"non-finite training metrics at epoch {epoch}: {bad} — "
+                "lower --lr / --alpha_pde or rerun with --debug_nans to "
+                "locate the producing op")
         step_now = int(jax.device_get(state.step).max()) if hasattr(
             state.step, "max") else int(state.step)
         sec_per_step = (time.time() - t0) / steps_per_epoch
@@ -262,16 +339,19 @@ def main():
         metrics["pts_per_sec"] = (batch_per_step *
                                   cfg.data.n_samp_pts_per_crop /
                                   sec_per_step)
-        logger.log(step_now, metrics, prefix="train/")
+        if logger is not None:
+            logger.log(step_now, metrics, prefix="train/")
 
         # device_get: eval may run on a different (sub-)mesh than the
         # training step placed the params on.
         eval_params = (jax.device_get(state.params) if args.sharded_encoder
                        else jax.tree.map(lambda x: x, state.params))
         em = {k: float(np.asarray(v).mean()) if np.ndim(v) == 0 else 0.0
-              for k, v in eval_fn(eval_params,
-                                  eval_batch).items() if np.ndim(v) == 0}
-        logger.log(step_now, em, prefix="eval/")
+              for k, v in eval_fn(eval_params, eval_batch,
+                                  state.batch_stats).items()
+              if np.ndim(v) == 0}
+        if logger is not None:
+            logger.log(step_now, em, prefix="eval/")
         print(f"epoch {epoch}: loss={metrics.get('loss', 0):.5f} "
               f"reg={metrics.get('reg_loss', 0):.5f} "
               f"pde={metrics.get('pde_loss', 0):.5f} "
@@ -290,7 +370,8 @@ def main():
                 "best_eval": float(best_eval),
             })
     prefetcher.close()
-    logger.close()
+    if logger is not None:
+        logger.close()
     mngr.close()
 
 

@@ -133,8 +133,9 @@ class DeviceSampler:
         """loss_fn over host batches -> loss_fn over (origins, pts)
         raw batches; batch assembly traces into the same XLA graph."""
 
-        def loss2(params, raw):
+        def loss2(params, raw, *extra):
             return loss_fn(params, self.batch_fn(raw["origins"],
-                                                 raw["point_coord"]))
+                                                 raw["point_coord"]),
+                           *extra)
 
         return loss2

@@ -1,0 +1,80 @@
+"""Formal train / val / test split protocol.
+
+The reference quickstart trains and evaluates on the SAME simulation
+npz (``experiments/rb2d/train.py`` takes ``--train_data`` and
+``--eval_data``, typically both ``rb2d_ra1e6_s42.npz``), which
+overstates quality. This module defines the protocol this build's
+numbers are reported under (BASELINE.md "model quality"):
+
+- **train**: the full training simulation (seed 42 by default) —
+  random crops, all frames.
+- **val**: an INDEPENDENT simulation (different PRNG seed => fully
+  decorrelated turbulent trajectory), windows ``val_windows(...)``.
+  Used for train-time model selection (the driver's per-epoch eval and
+  best-checkpoint logic).
+- **test**: a THIRD independent simulation, windows
+  ``test_windows(...)``. Touched only for final reported numbers.
+
+Window starts are deterministic functions of the data length so every
+run/report uses identical frames: val windows are the even grid of
+``n`` starts over the valid range, test windows the odd interleave
+(maximally separated from the val grid under the same spacing).
+
+Canonical filenames (our generator's convention —
+``experiments/rb2d/generate_data.py --seed S``):
+``rb2d_ra1e6_s42.npz`` (train), ``..._s7.npz`` (val),
+``..._s123.npz`` (test).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Tuple
+
+import numpy as np
+
+__all__ = ["SplitSpec", "window_starts", "val_windows", "test_windows",
+           "CANONICAL_SEEDS"]
+
+CANONICAL_SEEDS = {"train": 42, "val": 7, "test": 123}
+
+
+def window_starts(n_frames: int, nt: int, n_windows: int,
+                  parity: int = 0) -> np.ndarray:
+    """Deterministic window-start frames.
+
+    Lay a 2*n_windows-point even grid of candidate starts over
+    ``[0, n_frames - nt]`` and take the even (parity=0 -> val) or odd
+    (parity=1 -> test) points, so val and test windows of the same
+    data file never coincide and are maximally spaced.
+    """
+    if n_frames < nt:
+        raise ValueError(f"n_frames {n_frames} < window nt {nt}")
+    max_t0 = n_frames - nt
+    grid = np.linspace(0, max_t0, 2 * n_windows + 1)
+    pick = grid[1::2] if parity else grid[0::2][:n_windows]
+    return np.unique(pick.astype(int))
+
+
+def val_windows(n_frames: int, nt: int, n_windows: int = 4) -> np.ndarray:
+    return window_starts(n_frames, nt, n_windows, parity=0)
+
+
+def test_windows(n_frames: int, nt: int, n_windows: int = 4) -> np.ndarray:
+    return window_starts(n_frames, nt, n_windows, parity=1)
+
+
+@dataclass
+class SplitSpec:
+    """Resolved file names for one experiment's protocol."""
+    train_data: str
+    val_data: str
+    test_data: str
+
+    @classmethod
+    def canonical(cls, prefix: str = "rb2d_ra1e6") -> "SplitSpec":
+        return cls(
+            train_data=f"{prefix}_s{CANONICAL_SEEDS['train']}.npz",
+            val_data=f"{prefix}_s{CANONICAL_SEEDS['val']}.npz",
+            test_data=f"{prefix}_s{CANONICAL_SEEDS['test']}.npz",
+        )

@@ -19,8 +19,9 @@ from __future__ import annotations
 from typing import Any
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
+
+from space_time_pde_tpu.models.nonlinearities import get_activation
 
 __all__ = ["ImNet"]
 
@@ -33,6 +34,10 @@ class ImNet(nn.Module):
       in_features: latent feature size concatenated to the coordinate.
       out_features: number of predicted physical channels.
       nf: width multiplier; hidden widths are nf*(16, 8, 4, 2, 1).
+      activation: name in the nonlinearity registry (reference:
+        ``src/nonlinearities.py``). Non-piecewise-linear choices disable
+        the analytic derivative jet (``ops/jet.py``) — the trainer falls
+        back to jvp towers automatically.
       negative_slope: LeakyReLU slope (torch ``nn.LeakyReLU`` default).
       dtype: compute dtype (params stay float32; bf16 here enables the
         MXU fast path on TPU).
@@ -42,6 +47,7 @@ class ImNet(nn.Module):
     in_features: int = 32
     out_features: int = 4
     nf: int = 32
+    activation: str = "leaky_relu"
     negative_slope: float = 0.01
     dtype: Any = jnp.float32
 
@@ -53,11 +59,12 @@ class ImNet(nn.Module):
                 f"ImNet expects last dim {self.dim + self.in_features}, "
                 f"got {x.shape[-1]}")
         x = x.astype(self.dtype)
+        act = get_activation(self.activation, self.negative_slope)
         h = x
         for i, mult in enumerate((16, 8, 4, 2, 1)):
             inp = h if i == 0 else jnp.concatenate([h, x], axis=-1)
             h = nn.Dense(self.nf * mult, dtype=self.dtype,
                          name=f"fc{i}")(inp)
-            h = jax.nn.leaky_relu(h, self.negative_slope)
+            h = act(h)
         out = nn.Dense(self.out_features, dtype=self.dtype, name="fc5")(h)
         return out.astype(jnp.float32)

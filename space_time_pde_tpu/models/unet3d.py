@@ -10,10 +10,13 @@ upsampling and skip connections, and emit a latent grid at the SAME
 TPU-first design decisions (vs a literal torch translation):
 - channels-LAST ``[B, T, Z, X, C]`` (NDHWC) layout — XLA's native conv
   layout on TPU, keeping the channel axis on the 128-lane minor dim;
-- GroupNorm instead of BatchNorm: batch-size independent (works with
-  per-device micro-batches under data parallelism with no cross-device
-  batch-stat sync) and keeps the train step purely functional — no
-  mutable running stats to thread through jit;
+- GroupNorm by DEFAULT instead of BatchNorm: batch-size independent
+  (works with per-device micro-batches under data parallelism with no
+  cross-device batch-stat sync) and keeps the train step purely
+  functional — no mutable running stats to thread through jit. A
+  reference-faithful BatchNorm mode (``norm="batch"``, cross-replica
+  stats via ``bn_axis_name``) is available for strict parity runs and
+  for importing reference torch checkpoints;
 - depth is a static Python int derived from the input grid resolution
   (``levels = floor(log2(min(igres)))`` like the reference), so the
   whole network unrolls into one fixed XLA graph.
@@ -22,11 +25,12 @@ TPU-first design decisions (vs a literal torch translation):
 from __future__ import annotations
 
 import math
-from typing import Any, Sequence
+from typing import Any, Optional, Sequence
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
+
+from space_time_pde_tpu.models.nonlinearities import get_activation
 
 __all__ = ["UNet3d", "ResBlock3D"]
 
@@ -39,10 +43,31 @@ def _num_groups(ch: int) -> int:
     return 1
 
 
+def make_norm(norm: str, ch: int, name: str, train: bool,
+              bn_axis_name: Optional[str] = None) -> nn.Module:
+    """Norm-layer factory shared by the 3-D and 4-D blocks.
+
+    ``group``: GroupNorm (default, functional). ``batch``: BatchNorm
+    with torch-matching semantics (momentum 0.9 i.e. torch's 0.1, eps
+    1e-5, running stats in the ``batch_stats`` collection); with
+    ``bn_axis_name`` set the batch statistics are averaged across that
+    mesh axis (cross-replica sync — the reference's single-process
+    ``nn.DataParallel`` computes per-replica stats, so syncing is at
+    least as faithful).
+    """
+    if norm == "batch":
+        return nn.BatchNorm(use_running_average=not train,
+                            momentum=0.9, epsilon=1e-5,
+                            axis_name=bn_axis_name, name=name)
+    if norm == "group":
+        return nn.GroupNorm(_num_groups(ch), name=name)
+    raise ValueError(f"unknown norm {norm!r}; available: group, batch")
+
+
 class ResBlock3D(nn.Module):
     """Bottleneck residual block (reference: ``src/unet3d.py::ResBlock3D``).
 
-    1x1x1 reduce -> 3x3x3 -> 1x1x1 expand, GroupNorm + LeakyReLU, with a
+    1x1x1 reduce -> 3x3x3 -> 1x1x1 expand, norm + activation, with a
     projected identity shortcut when channel counts differ.
     """
 
@@ -50,21 +75,24 @@ class ResBlock3D(nn.Module):
     out_channels: int
     negative_slope: float = 0.01
     dtype: Any = jnp.float32
+    activation: str = "leaky_relu"
+    norm: str = "group"
+    bn_axis_name: Optional[str] = None
 
     @nn.compact
-    def __call__(self, x):
-        act = lambda h: jax.nn.leaky_relu(h, self.negative_slope)
+    def __call__(self, x, train: bool = False):
+        act = get_activation(self.activation, self.negative_slope)
+        mk = lambda ch, name: make_norm(self.norm, ch, name, train,
+                                        self.bn_axis_name)
         h = nn.Conv(self.neck_channels, (1, 1, 1), dtype=self.dtype,
                     name="conv1")(x)
-        h = act(nn.GroupNorm(_num_groups(self.neck_channels),
-                             name="norm1")(h))
+        h = act(mk(self.neck_channels, "norm1")(h))
         h = nn.Conv(self.neck_channels, (3, 3, 3), padding="SAME",
                     dtype=self.dtype, name="conv2")(h)
-        h = act(nn.GroupNorm(_num_groups(self.neck_channels),
-                             name="norm2")(h))
+        h = act(mk(self.neck_channels, "norm2")(h))
         h = nn.Conv(self.out_channels, (1, 1, 1), dtype=self.dtype,
                     name="conv3")(h)
-        h = nn.GroupNorm(_num_groups(self.out_channels), name="norm3")(h)
+        h = mk(self.out_channels, "norm3")(h)
         if x.shape[-1] != self.out_channels:
             x = nn.Conv(self.out_channels, (1, 1, 1), use_bias=False,
                         dtype=self.dtype, name="proj")(x)
@@ -94,13 +122,16 @@ class UNet3d(nn.Module):
     mf: int = 512
     negative_slope: float = 0.01
     dtype: Any = jnp.float32
+    activation: str = "leaky_relu"
+    norm: str = "group"
+    bn_axis_name: Optional[str] = None
 
     @property
     def levels(self) -> int:
         return int(math.floor(math.log2(min(self.igres))))
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         """x: [B, T, Z, X, in_features] -> [B, T, Z, X, out_features]."""
         if tuple(x.shape[1:4]) != tuple(self.igres):
             raise ValueError(
@@ -112,7 +143,10 @@ class UNet3d(nn.Module):
                 raise ValueError(
                     f"igres {tuple(self.igres)} not divisible by 2^{lv}")
         x = x.astype(self.dtype)
-        act = lambda h: jax.nn.leaky_relu(h, self.negative_slope)
+        act = get_activation(self.activation, self.negative_slope)
+        block = lambda neck, ch, name: ResBlock3D(
+            neck, ch, self.negative_slope, self.dtype, self.activation,
+            self.norm, self.bn_axis_name, name=name)
 
         # Lift to nf.
         h = act(nn.Conv(self.nf, (3, 3, 3), padding="SAME",
@@ -122,8 +156,7 @@ class UNet3d(nn.Module):
         skips = []
         ch = self.nf
         for i in range(lv):
-            h = ResBlock3D(max(ch // 2, 1), ch, self.negative_slope,
-                           self.dtype, name=f"down_res{i}")(h)
+            h = block(max(ch // 2, 1), ch, f"down_res{i}")(h, train)
             skips.append(h)
             ch = min(ch * 2, self.mf)
             h = act(nn.Conv(ch, (3, 3, 3), strides=(2, 2, 2),
@@ -131,8 +164,7 @@ class UNet3d(nn.Module):
                             name=f"down{i}")(h))
 
         # Bottleneck.
-        h = ResBlock3D(max(ch // 2, 1), ch, self.negative_slope,
-                       self.dtype, name="bottleneck")(h)
+        h = block(max(ch // 2, 1), ch, "bottleneck")(h, train)
 
         # Decoder: transposed-conv upsample + skip concat + ResBlock.
         for i in reversed(range(lv)):
@@ -141,8 +173,7 @@ class UNet3d(nn.Module):
             h = act(nn.ConvTranspose(ch, (2, 2, 2), strides=(2, 2, 2),
                                      dtype=self.dtype, name=f"up{i}")(h))
             h = jnp.concatenate([h, skip], axis=-1)
-            h = ResBlock3D(max(ch // 2, 1), ch, self.negative_slope,
-                           self.dtype, name=f"up_res{i}")(h)
+            h = block(max(ch // 2, 1), ch, f"up_res{i}")(h, train)
 
         # Latent head (linear — the latent grid is unbounded features).
         out = nn.Conv(self.out_features, (1, 1, 1), dtype=self.dtype,

@@ -21,6 +21,8 @@ import math
 from typing import Any, Sequence
 
 import flax.linen as nn
+
+from space_time_pde_tpu.models.nonlinearities import get_activation
 import jax
 import jax.numpy as jnp
 
@@ -77,10 +79,11 @@ class ResBlock4D(nn.Module):
     out_channels: int
     negative_slope: float = 0.01
     dtype: Any = jnp.float32
+    activation: str = "leaky_relu"
 
     @nn.compact
     def __call__(self, x):
-        act = lambda h: jax.nn.leaky_relu(h, self.negative_slope)
+        act = get_activation(self.activation, self.negative_slope)
         h = Conv4d(self.neck_channels, 1, 1, dtype=self.dtype,
                    name="conv1")(x)
         h = act(nn.GroupNorm(_num_groups(self.neck_channels),
@@ -114,6 +117,7 @@ class UNet4d(nn.Module):
     mf: int = 512
     negative_slope: float = 0.01
     dtype: Any = jnp.float32
+    activation: str = "leaky_relu"
 
     @property
     def levels(self) -> int:
@@ -131,7 +135,7 @@ class UNet4d(nn.Module):
                 raise ValueError(
                     f"igres {tuple(self.igres)} not divisible by 2^{lv}")
         x = x.astype(self.dtype)
-        act = lambda h: jax.nn.leaky_relu(h, self.negative_slope)
+        act = get_activation(self.activation, self.negative_slope)
 
         h = act(Conv4d(self.nf, 3, 3, dtype=self.dtype, name="conv_in")(x))
 
@@ -139,14 +143,15 @@ class UNet4d(nn.Module):
         ch = self.nf
         for i in range(lv):
             h = ResBlock4D(max(ch // 2, 1), ch, self.negative_slope,
-                           self.dtype, name=f"down_res{i}")(h)
+                           self.dtype, self.activation,
+                           name=f"down_res{i}")(h)
             skips.append(h)
             ch = min(ch * 2, self.mf)
             h = act(Conv4d(ch, 3, 3, strides=(2, 2, 2, 2),
                            dtype=self.dtype, name=f"down{i}")(h))
 
         h = ResBlock4D(max(ch // 2, 1), ch, self.negative_slope,
-                       self.dtype, name="bottleneck")(h)
+                       self.dtype, self.activation, name="bottleneck")(h)
 
         for i in reversed(range(lv)):
             skip = skips[i]
@@ -157,7 +162,8 @@ class UNet4d(nn.Module):
             h = act(Conv4d(ch, 3, 3, dtype=self.dtype, name=f"up{i}")(h))
             h = jnp.concatenate([h, skip], axis=-1)
             h = ResBlock4D(max(ch // 2, 1), ch, self.negative_slope,
-                           self.dtype, name=f"up_res{i}")(h)
+                           self.dtype, self.activation,
+                           name=f"up_res{i}")(h)
 
         out = Conv4d(self.out_features, 1, 1, dtype=self.dtype,
                      name="conv_out")(h)

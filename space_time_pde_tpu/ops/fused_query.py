@@ -154,12 +154,13 @@ def cell_major_features(grid: jnp.ndarray) -> jnp.ndarray:
 
 def _kernel(feats_ref, frac_ref, wxf_ref, wxr_ref, cb_ref, wh1_ref,
             wh2_ref, wh3_ref, wh4_ref, w5_ref, b5_ref, out_ref, *,
-            widths, n_corners: int, negative_slope: float, compute_dtype):
+            widths, n_corners: int, negative_slope: float, compute_dtype,
+            activation: str = "leaky_relu"):
     offs = np.cumsum([0] + list(widths))
     s_tot = int(offs[-1])
 
-    def act(v):
-        return jax.nn.leaky_relu(v, negative_slope)
+    from space_time_pde_tpu.models.nonlinearities import get_activation
+    act = get_activation(activation, negative_slope)
 
     feats = feats_ref[:].astype(compute_dtype)              # [R, C]
     nb = feats.shape[0] // n_corners
@@ -213,11 +214,14 @@ def fused_decode_blend(feats2, frac, packed, *, nf: int, n_corners: int,
                        block_pts: int = 256,
                        compute_dtype=jnp.bfloat16,
                        pad_to: int = 0,
-                       interpret: bool = False) -> jnp.ndarray:
+                       interpret: bool = False,
+                       activation: str = "leaky_relu") -> jnp.ndarray:
     """feats2: [N*K, C]; frac: [N, dim] in-cell fractions -> [N, out].
 
     Multilinear blend weights are derived from ``frac`` in-kernel.
-    ``pad_to`` must match the value used in ``pack_imnet_params``.
+    ``pad_to`` must match the value used in ``pack_imnet_params``; with
+    ``pad_to > 0`` the activation must map 0 -> 0 (relu/leaky_relu/tanh/
+    sin/...) so the padded lanes stay exactly zero.
     """
     nk, c = feats2.shape
     k = n_corners
@@ -245,7 +249,8 @@ def fused_decode_blend(feats2, frac, packed, *, nf: int, n_corners: int,
 
     kernel = functools.partial(
         _kernel, widths=tuple(_padded_widths(nf, pad_to)), n_corners=k,
-        negative_slope=negative_slope, compute_dtype=compute_dtype)
+        negative_slope=negative_slope, compute_dtype=compute_dtype,
+        activation=activation)
 
     compiler_params = None
     if not interpret:
@@ -307,6 +312,7 @@ def fused_query_local_implicit_grid(imnet, params, latent_grid, pts,
             feats2, frac, packed, nf=imnet.nf, n_corners=k,
             negative_slope=imnet.negative_slope,
             block_pts=block_pts, compute_dtype=compute_dtype,
-            pad_to=pad_to, interpret=interpret)
+            pad_to=pad_to, interpret=interpret,
+            activation=getattr(imnet, "activation", "leaky_relu"))
 
     return jax.vmap(single)(latent_grid, pts)

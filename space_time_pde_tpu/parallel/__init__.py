@@ -1,4 +1,6 @@
 from space_time_pde_tpu.parallel.dp import (
+    global_batch,
+    init_multihost,
     make_dp_multi_step,
     make_dp_train_step,
     make_mesh,
@@ -7,6 +9,6 @@ from space_time_pde_tpu.parallel.dp import (
 )
 
 __all__ = [
-    "make_dp_multi_step", "make_dp_train_step", "make_mesh",
-    "replicate_state", "shard_batch",
+    "global_batch", "init_multihost", "make_dp_multi_step",
+    "make_dp_train_step", "make_mesh", "replicate_state", "shard_batch",
 ]

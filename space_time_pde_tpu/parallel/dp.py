@@ -16,7 +16,7 @@ Tested on a virtual 8-device CPU mesh
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -27,13 +27,61 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from space_time_pde_tpu.train.trainer import TrainState
 
 __all__ = ["make_mesh", "make_dp_train_step", "make_dp_multi_step",
-           "replicate_state", "shard_batch"]
+           "replicate_state", "shard_batch", "init_multihost",
+           "global_batch"]
+
+
+def init_multihost(**kwargs) -> Tuple[int, int]:
+    """Join a multi-host (multi-process) run over DCN.
+
+    Wraps ``jax.distributed.initialize`` (coordinator address / process
+    count / process id resolve from the environment on TPU pods, or can
+    be passed through via kwargs). Must be called before any other JAX
+    device use. After this, ``jax.devices()`` is the GLOBAL device list,
+    so the same ``make_mesh``/``shard_map`` train step scales across
+    hosts — XLA routes intra-slice collectives over ICI and inter-slice
+    ones over DCN. Returns (process_index, process_count).
+
+    Outside auto-detected clusters (TPU pods, Slurm, ...) the topology
+    can be given via env vars ``STPDE_COORDINATOR`` (host:port),
+    ``STPDE_NUM_PROCESSES`` and ``STPDE_PROCESS_ID`` — used by the
+    two-process CPU integration test.
+    """
+    import os
+    for key, env, cast in (
+            ("coordinator_address", "STPDE_COORDINATOR", str),
+            ("num_processes", "STPDE_NUM_PROCESSES", int),
+            ("process_id", "STPDE_PROCESS_ID", int)):
+        if key not in kwargs and env in os.environ:
+            kwargs[key] = cast(os.environ[env])
+    jax.distributed.initialize(**kwargs)
+    return jax.process_index(), jax.process_count()
 
 
 def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
     devs = jax.devices()
     n = n_devices or len(devs)
     return Mesh(np.asarray(devs[:n]), (axis,))
+
+
+def global_batch(batch: Dict[str, np.ndarray], mesh: Mesh,
+                 axis: str = "data", batch_axis: int = 0
+                 ) -> Dict[str, jnp.ndarray]:
+    """Assemble per-process host batches into one global sharded batch.
+
+    Each process passes ITS slice of the global batch (global size /
+    process_count rows of ``batch_axis``); the result is a jax.Array
+    sharded over ``axis`` whose addressable shards come from local host
+    memory only — the multi-host analog of :func:`shard_batch`.
+    ``batch_axis=1`` matches :func:`make_dp_multi_step`'s stacked
+    [n_inner, batch, ...] layout.
+    """
+    spec = P(*([None] * batch_axis), axis)
+    sharding = NamedSharding(mesh, spec)
+    return {
+        k: jax.make_array_from_process_local_data(sharding, np.asarray(v))
+        for k, v in batch.items()
+    }
 
 
 def replicate_state(state: TrainState, mesh: Mesh) -> TrainState:
@@ -110,16 +158,20 @@ def make_dp_multi_step(loss_fn, tx: optax.GradientTransformation,
 
 
 def _dp_step_body(loss_fn, tx, axis):
+    from space_time_pde_tpu.train.trainer import _apply_grads, _loss_args
+
     def shard_step(state: TrainState, batch):
         (_, metrics), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params, batch)
+            loss_fn, has_aux=True)(state.params, batch,
+                                   *_loss_args(state))
         grads = jax.lax.pmean(grads, axis)
+        # BatchNorm running stats (if present) are NOT pmean'd here:
+        # the model's bn_axis_name pmean already made them identical
+        # across replicas inside apply.
+        new_stats = metrics.pop("_batch_stats", None)
         metrics = jax.lax.pmean(metrics, axis)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        new_state = TrainState(step=state.step + 1, params=params,
-                               opt_state=opt_state, key=state.key)
-        metrics["grad_norm"] = optax.global_norm(grads)
-        return new_state, metrics
+        if new_stats is not None:
+            metrics["_batch_stats"] = new_stats
+        return _apply_grads(state, tx, grads, metrics)
 
     return shard_step

@@ -26,6 +26,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from space_time_pde_tpu.models.nonlinearities import get_activation
 from space_time_pde_tpu.parallel.halo_conv import (
     HaloConv3d, ShardedGroupNorm,
 )
@@ -47,10 +48,11 @@ class ShardedResBlock3D(nn.Module):
     axis_name: str = "space"
     negative_slope: float = 0.01
     dtype: Any = jnp.float32
+    activation: str = "leaky_relu"
 
     @nn.compact
     def __call__(self, x):
-        act = lambda h: jax.nn.leaky_relu(h, self.negative_slope)
+        act = get_activation(self.activation, self.negative_slope)
         gn = lambda ch, name: ShardedGroupNorm(
             _num_groups(ch), self.axis_name, name=name)
         h = nn.Conv(self.neck_channels, (1, 1, 1), dtype=self.dtype,
@@ -85,6 +87,7 @@ class ShardedUNet3d(nn.Module):
     axis_name: str = "space"
     negative_slope: float = 0.01
     dtype: Any = jnp.float32
+    activation: str = "leaky_relu"
 
     @property
     def levels(self) -> int:
@@ -93,7 +96,7 @@ class ShardedUNet3d(nn.Module):
     @nn.compact
     def __call__(self, x):
         lv = self.levels
-        act = lambda h: jax.nn.leaky_relu(h, self.negative_slope)
+        act = get_activation(self.activation, self.negative_slope)
         if x.shape[3] % (2 ** lv) != 0:
             raise ValueError(
                 f"local x {x.shape[3]} not divisible by 2^{lv}")
@@ -106,6 +109,7 @@ class ShardedUNet3d(nn.Module):
         for i in range(lv):
             h = ShardedResBlock3D(max(ch // 2, 1), ch, self.axis_name,
                                   self.negative_slope, self.dtype,
+                                  self.activation,
                                   name=f"down_res{i}")(h)
             skips.append(h)
             ch = min(ch * 2, self.mf)
@@ -115,7 +119,7 @@ class ShardedUNet3d(nn.Module):
 
         h = ShardedResBlock3D(max(ch // 2, 1), ch, self.axis_name,
                               self.negative_slope, self.dtype,
-                              name="bottleneck")(h)
+                              self.activation, name="bottleneck")(h)
 
         for i in reversed(range(lv)):
             skip = skips[i]
@@ -129,6 +133,7 @@ class ShardedUNet3d(nn.Module):
             h = jnp.concatenate([h, skip], axis=-1)
             h = ShardedResBlock3D(max(ch // 2, 1), ch, self.axis_name,
                                   self.negative_slope, self.dtype,
+                                  self.activation,
                                   name=f"up_res{i}")(h)
 
         out = nn.Conv(self.out_features, (1, 1, 1), dtype=self.dtype,

@@ -50,9 +50,13 @@ class TrainState:
     params: Any
     opt_state: Any
     key: jnp.ndarray
+    # Running statistics of the optional BatchNorm mode (norm="batch");
+    # None (the default) for the functional GroupNorm models.
+    batch_stats: Any = None
 
 
-def build_models(cfg: Config, lres_shape: Tuple[int, int, int]
+def build_models(cfg: Config, lres_shape: Tuple[int, int, int],
+                 bn_axis_name: Optional[str] = None
                  ) -> Tuple[UNet3d, ImNet]:
     dtype = jnp.bfloat16 if cfg.model.use_bf16 else jnp.float32
     unet = UNet3d(
@@ -63,12 +67,16 @@ def build_models(cfg: Config, lres_shape: Tuple[int, int, int]
         mf=cfg.model.unet_mf,
         negative_slope=cfg.model.negative_slope,
         dtype=dtype,
+        activation=cfg.model.activation,
+        norm=cfg.model.norm,
+        bn_axis_name=bn_axis_name,
     )
     imnet = ImNet(
         dim=3,
         in_features=cfg.model.lat_dims,
         out_features=cfg.model.out_channels,
         nf=cfg.model.imnet_nf,
+        activation=cfg.model.activation,
         negative_slope=cfg.model.negative_slope,
         dtype=dtype,
     )
@@ -94,8 +102,9 @@ def init_state(key, cfg: Config, unet: UNet3d, imnet: ImNet,
     t, z, x = unet.igres
     lres = jnp.zeros((1, t, z, x, cfg.model.in_channels))
     coords = jnp.zeros((1, 3 + cfg.model.lat_dims))
+    uvars = unet.init(k1, lres)
     params = {
-        "unet": unet.init(k1, lres)["params"],
+        "unet": uvars["params"],
         "imnet": imnet.init(k2, coords)["params"],
     }
     return TrainState(
@@ -103,6 +112,7 @@ def init_state(key, cfg: Config, unet: UNet3d, imnet: ImNet,
         params=params,
         opt_state=tx.init(params),
         key=k3,
+        batch_stats=uvars.get("batch_stats"),
     )
 
 
@@ -119,15 +129,20 @@ def _reg_loss(kind: str, pred, target):
 
 def make_forward_fn(unet: UNet3d, imnet: ImNet,
                     query_fn: Optional[Callable] = None):
-    """Returns fwd(params, lres, coords) -> predicted fields at coords.
+    """Returns fwd(params, lres, coords[, batch_stats]) -> fields at coords.
 
     query_fn overrides the LIG query implementation (e.g. the fused
-    Pallas kernel); default is the pure-jnp path.
+    Pallas kernel); default is the pure-jnp path. ``batch_stats`` is
+    only needed for the BatchNorm encoder mode (inference uses the
+    running averages).
     """
     query = query_fn or query_local_implicit_grid
 
-    def forward(params, lres, coords):
-        latent = unet.apply({"params": params["unet"]}, lres)
+    def forward(params, lres, coords, batch_stats=None):
+        uvars = {"params": params["unet"]}
+        if batch_stats is not None:
+            uvars["batch_stats"] = batch_stats
+        latent = unet.apply(uvars, lres)
         decoder = lambda v: imnet.apply({"params": params["imnet"]}, v)
         return query(decoder, latent, coords)
 
@@ -143,24 +158,32 @@ def make_loss_fn(cfg: Config, unet: UNet3d, imnet: ImNet,
     The PDE residuals are evaluated at the same sampled points
     (reference behavior), re-using one encoder pass.
     """
-    forward = make_forward_fn(unet, imnet, query_fn)
+    from space_time_pde_tpu.models.nonlinearities import PIECEWISE_LINEAR
+
     alpha = cfg.train.alpha_pde
     kind = cfg.train.reg_loss_type
     # The analytic jet (ops/jet.py) replaces nested-jvp towers with one
-    # forward + D tangent passes; it is exact for the piecewise-linear
-    # ImNet and systems of derivative order <= 2, and supplies the reg
-    # prediction for free. Fall back to towers otherwise.
+    # forward + D tangent passes; it is exact for piecewise-linear
+    # decoders and systems of derivative order <= 2, and supplies the
+    # reg prediction for free. Fall back to towers otherwise.
     use_jet = (pde_layer is not None and alpha > 0
                and query_fn is None
                and getattr(cfg.train, "pde_derivs", "jet") == "jet"
+               and getattr(imnet, "activation", "leaky_relu")
+               in PIECEWISE_LINEAR
                and pde_layer.max_derivative_order() <= 2)
 
-    def loss_fn(params, batch):
+    def loss_fn(params, batch, batch_stats=None):
         lres = batch["lres"]
         coords = batch["point_coord"]
         target = batch["point_value"]
 
-        latent = unet.apply({"params": params["unet"]}, lres)
+        if batch_stats is not None:
+            latent, uvars = unet.apply(
+                {"params": params["unet"], "batch_stats": batch_stats},
+                lres, train=True, mutable=["batch_stats"])
+        else:
+            latent = unet.apply({"params": params["unet"]}, lres)
         decoder = lambda v: imnet.apply({"params": params["imnet"]}, v)
         query = query_fn or query_local_implicit_grid
         fwd = lambda pts: query(decoder, latent, pts)
@@ -187,9 +210,31 @@ def make_loss_fn(cfg: Config, unet: UNet3d, imnet: ImNet,
         else:
             loss = reg
         metrics["loss"] = loss
+        if batch_stats is not None:
+            # Updated running stats ride the aux dict under a reserved
+            # key; the step functions pop it into TrainState (and must
+            # never pmean it — BatchNorm's bn_axis_name already syncs).
+            metrics["_batch_stats"] = uvars["batch_stats"]
         return loss, metrics
 
     return loss_fn
+
+
+def _apply_grads(state: TrainState, tx, grads, metrics
+                 ) -> Tuple[TrainState, Dict]:
+    """Shared state-update tail: optimizer update + batch_stats pop."""
+    new_stats = metrics.pop("_batch_stats", state.batch_stats)
+    updates, opt_state = tx.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    metrics["grad_norm"] = optax.global_norm(grads)
+    return TrainState(step=state.step + 1, params=params,
+                      opt_state=opt_state, key=state.key,
+                      batch_stats=new_stats), metrics
+
+
+def _loss_args(state: TrainState):
+    """Extra loss_fn args: BatchNorm stats when that mode is active."""
+    return (state.batch_stats,) if state.batch_stats is not None else ()
 
 
 def make_train_step(loss_fn, tx: optax.GradientTransformation,
@@ -198,14 +243,9 @@ def make_train_step(loss_fn, tx: optax.GradientTransformation,
 
     def step(state: TrainState, batch) -> Tuple[TrainState, Dict]:
         (_, metrics), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params, batch)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        new_state = TrainState(
-            step=state.step + 1, params=params, opt_state=opt_state,
-            key=state.key)
-        metrics["grad_norm"] = optax.global_norm(grads)
-        return new_state, metrics
+            loss_fn, has_aux=True)(state.params, batch,
+                                   *_loss_args(state))
+        return _apply_grads(state, tx, grads, metrics)
 
     if jit:
         step = jax.jit(step, donate_argnums=(0,))
@@ -225,12 +265,9 @@ def make_multi_step(loss_fn, tx: optax.GradientTransformation,
 
     def one(state: TrainState, batch):
         (_, metrics), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params, batch)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        metrics["grad_norm"] = optax.global_norm(grads)
-        return TrainState(step=state.step + 1, params=params,
-                          opt_state=opt_state, key=state.key), metrics
+            loss_fn, has_aux=True)(state.params, batch,
+                                   *_loss_args(state))
+        return _apply_grads(state, tx, grads, metrics)
 
     def step(state: TrainState, stacked_batch):
         return jax.lax.scan(one, state, stacked_batch)
@@ -251,8 +288,9 @@ def make_eval_fn(cfg: Config, unet: UNet3d, imnet: ImNet,
     SR quality metric, computed on held-out crops)."""
     forward = make_forward_fn(unet, imnet, query_fn)
 
-    def eval_fn(params, batch):
-        pred = forward(params, batch["lres"], batch["point_coord"])
+    def eval_fn(params, batch, batch_stats=None):
+        pred = forward(params, batch["lres"], batch["point_coord"],
+                       batch_stats)
         target = batch["point_value"]
         num = jnp.sqrt(jnp.sum(jnp.square(pred - target)))
         den = jnp.sqrt(jnp.sum(jnp.square(target))) + 1e-12

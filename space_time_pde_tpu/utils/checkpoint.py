@@ -40,6 +40,10 @@ class CheckpointManager:
             "opt_state": state.opt_state,
             "key": state.key,
         }
+        # Only present in the BatchNorm encoder mode; omitting it
+        # otherwise keeps old checkpoints restorable bit-for-bit.
+        if state.batch_stats is not None:
+            payload["batch_stats"] = state.batch_stats
         extra_json = jax.tree.map(
             lambda v: v.tolist() if isinstance(v, (np.ndarray, jax.Array))
             else v, extra or {})
@@ -65,6 +69,8 @@ class CheckpointManager:
                 "opt_state": template_state.opt_state,
                 "key": template_state.key,
             }
+            if template_state.batch_stats is not None:
+                template["batch_stats"] = template_state.batch_stats
             restored = self._mngr.restore(step, args=ocp.args.Composite(
                 state=ocp.args.StandardRestore(template),
                 extra=ocp.args.JsonRestore()))
@@ -72,7 +78,8 @@ class CheckpointManager:
             restored = self._mngr.restore(step)
         s = restored["state"]
         state = TrainState(step=s["step"], params=s["params"],
-                           opt_state=s["opt_state"], key=s["key"])
+                           opt_state=s["opt_state"], key=s["key"],
+                           batch_stats=s.get("batch_stats"))
         return state, restored.get("extra") or {}
 
     def close(self) -> None:

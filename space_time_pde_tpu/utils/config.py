@@ -27,6 +27,8 @@ class ModelConfig:
     imnet_nf: int = 32          # ImNet width multiplier (--imnet_nf)
     in_channels: int = 4        # p, b, u, w
     out_channels: int = 4
+    activation: str = "leaky_relu"  # models/nonlinearities.py registry
+    norm: str = "group"         # group (default) | batch (reference UNet3d)
     negative_slope: float = 0.01
     use_bf16: bool = False      # bf16 compute policy (params stay f32)
     fused_query: bool = True    # Pallas fused query kernel when on TPU
@@ -46,6 +48,7 @@ class DataConfig:
     lres_filter: str = "none"
     lres_interp: str = "linear"
     normalize_channels: bool = True
+    velonly: bool = False       # predict (u, w) only (reference flag)
 
 
 @dataclass
@@ -124,10 +127,13 @@ _FLAG_MAP = {
     "lres_filter": ("data", "lres_filter"),
     "lres_interp": ("data", "lres_interp"),
     "normalize_channels": ("data", "normalize_channels"),
+    "velonly": ("data", "velonly"),
     "lat_dims": ("model", "lat_dims"),
     "unet_nf": ("model", "unet_nf"),
     "unet_mf": ("model", "unet_mf"),
     "imnet_nf": ("model", "imnet_nf"),
+    "activation": ("model", "activation"),
+    "norm": ("model", "norm"),
     "use_bf16": ("model", "use_bf16"),
     "fused_query": ("model", "fused_query"),
     "pde_system": ("physics", "pde_system"),

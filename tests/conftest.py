@@ -20,4 +20,26 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 
 # Repo root on sys.path so `space_time_pde_tpu` imports without install.
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT)
+
+
+def load_driver(experiment: str, modname: str):
+    """Import experiments/<experiment>/<modname>.py fresh.
+
+    The experiment drivers are sibling scripts (``train.py``,
+    ``evaluation.py``, ...) that import each other by bare name, so two
+    experiments' drivers collide in ``sys.modules``. Tests must load
+    them through this helper, which evicts any same-named driver module
+    first and scopes the path insertion.
+    """
+    import importlib
+
+    path = os.path.join(_ROOT, "experiments", experiment)
+    for m in ("train", "evaluation", "generate_data"):
+        sys.modules.pop(m, None)
+    sys.path.insert(0, path)
+    try:
+        return importlib.import_module(modname)
+    finally:
+        sys.path.remove(path)

@@ -7,14 +7,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
-                                "experiments", "rb2d"))
+from conftest import load_driver  # noqa: E402
 
 from space_time_pde_tpu.models import ImNet, UNet3d  # noqa: E402
 
 
 def test_dense_query_matches_direct_query():
-    from evaluation import dense_query
+    dense_query = load_driver("rb2d", "evaluation").dense_query
     from space_time_pde_tpu.models import query_local_implicit_grid
 
     igres = (4, 8, 8)

@@ -1,0 +1,37 @@
+"""Split-protocol windows: deterministic, in-range, val/test disjoint."""
+
+import numpy as np
+import pytest
+
+import space_time_pde_tpu.data.splits as splits
+from space_time_pde_tpu.data.splits import (
+    SplitSpec, val_windows, window_starts,
+)
+
+
+def test_windows_deterministic_and_in_range():
+    v1 = val_windows(200, 16, 4)
+    v2 = val_windows(200, 16, 4)
+    np.testing.assert_array_equal(v1, v2)
+    assert v1.min() >= 0 and v1.max() <= 200 - 16
+    assert len(v1) == 4
+
+
+def test_val_test_windows_disjoint():
+    v = set(val_windows(200, 16, 4).tolist())
+    t = set(splits.test_windows(200, 16, 4).tolist())
+    assert v.isdisjoint(t)
+    assert len(t) == 4
+
+
+def test_window_starts_rejects_short_data():
+    with pytest.raises(ValueError, match="< window nt"):
+        window_starts(10, 16, 2)
+
+
+def test_canonical_split_filenames():
+    s = SplitSpec.canonical()
+    assert s.train_data == "rb2d_ra1e6_s42.npz"
+    assert s.val_data == "rb2d_ra1e6_s7.npz"
+    assert s.test_data == "rb2d_ra1e6_s123.npz"
+    assert len({s.train_data, s.val_data, s.test_data}) == 3

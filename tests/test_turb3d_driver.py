@@ -7,14 +7,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
-                                "experiments", "turb3d"))
+from conftest import load_driver  # noqa: E402
 
 from space_time_pde_tpu.models import ImNet, UNet4d  # noqa: E402
 
 
 def test_dense_query4d_matches_direct_query():
-    from evaluation import dense_query4d
+    dense_query4d = load_driver("turb3d", "evaluation").dense_query4d
     from space_time_pde_tpu.models import query_local_implicit_grid
 
     igres = (4, 4, 4, 4)
@@ -47,7 +46,8 @@ def test_turb3d_config_roundtrip():
     """make_config maps the 4-D flags onto the shared Config tree."""
     import argparse
 
-    from train import add_turb3d_args, make_config
+    _t = load_driver("turb3d", "train")
+    add_turb3d_args, make_config = _t.add_turb3d_args, _t.make_config
 
     parser = argparse.ArgumentParser()
     add_turb3d_args(parser)
