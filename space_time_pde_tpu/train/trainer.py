@@ -166,12 +166,21 @@ def make_loss_fn(cfg: Config, unet: UNet3d, imnet: ImNet,
     # forward + D tangent passes; it is exact for piecewise-linear
     # decoders and systems of derivative order <= 2, and supplies the
     # reg prediction for free. Fall back to towers otherwise.
+    # pde_derivs: "jet" auto-selects the fused Pallas jet kernel on TPU
+    # (ops/fused_jet.py — custom-VJP, so the TRAINING step runs the
+    # Pallas path) and the jnp jet elsewhere; "jet_jnp" forces the jnp
+    # jet; "tower" forces nested-jvp towers.
+    derivs = getattr(cfg.train, "pde_derivs", "jet")
     use_jet = (pde_layer is not None and alpha > 0
                and query_fn is None
-               and getattr(cfg.train, "pde_derivs", "jet") == "jet"
+               and derivs in ("jet", "jet_jnp")
                and getattr(imnet, "activation", "leaky_relu")
                in PIECEWISE_LINEAR
                and pde_layer.max_derivative_order() <= 2)
+    use_fused_jet = (use_jet and derivs == "jet"
+                     and cfg.model.fused_query
+                     and jax.devices()[0].platform != "cpu")
+    jet_dtype = jnp.bfloat16 if cfg.model.use_bf16 else jnp.float32
 
     def loss_fn(params, batch, batch_stats=None):
         lres = batch["lres"]
@@ -188,7 +197,12 @@ def make_loss_fn(cfg: Config, unet: UNet3d, imnet: ImNet,
         query = query_fn or query_local_implicit_grid
         fwd = lambda pts: query(decoder, latent, pts)
 
-        if use_jet:
+        if use_fused_jet:
+            from space_time_pde_tpu.ops.fused_jet import fused_query_jet
+            pred, jac, hess = fused_query_jet(
+                imnet, params["imnet"], latent, coords,
+                compute_dtype=jet_dtype)
+        elif use_jet:
             from space_time_pde_tpu.ops.jet import (
                 query_local_implicit_grid_jet,
             )
