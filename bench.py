@@ -25,6 +25,9 @@ REFERENCE_V100_PTS_PER_SEC = 1.0e6
 
 
 def main():
+    from space_time_pde_tpu.utils.platform import maybe_force_platform
+    maybe_force_platform()          # STPDE_PLATFORM=cpu for host runs
+
     import jax
     import jax.numpy as jnp
 
@@ -86,11 +89,16 @@ def main():
 
     out = float(run_k(params, latent, coords))  # compile + warm
     assert jnp.isfinite(out), "non-finite benchmark output"
-    iters = 3
-    t0 = time.perf_counter()
+    # Best-of-N: each sample is already K=50 chained device steps, so
+    # min over samples removes remote-tunnel jitter (measured +-20%
+    # run-to-run through the axon proxy), not real device variance.
+    iters = 5
+    secs = []
     for _ in range(iters):
+        t0 = time.perf_counter()
         float(run_k(params, latent, coords))
-    sec = (time.perf_counter() - t0) / iters / K
+        secs.append((time.perf_counter() - t0) / K)
+    sec = min(secs)
     pts_per_sec = n_pts / sec
 
     print(json.dumps({
@@ -106,6 +114,7 @@ def main():
             "latent_grid": list(lres_shape) + [cfg.model.lat_dims],
             "imnet_nf": cfg.model.imnet_nf,
             "sec_per_step": sec,
+            "timing": "best of %d x %d chained steps" % (iters, K),
         },
     }))
 

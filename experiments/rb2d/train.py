@@ -328,10 +328,22 @@ def main():
         if not all(np.isfinite(v) for v in metrics.values()):
             bad = {k: v for k, v in metrics.items()
                    if not np.isfinite(v)}
-            raise SystemExit(
-                f"non-finite training metrics at epoch {epoch}: {bad} — "
-                "lower --lr / --alpha_pde or rerun with --debug_nans to "
-                "locate the producing op")
+            # The invariant that matters is PARAM health: spiked batches
+            # produce non-finite losses/grads but optax.apply_if_finite
+            # skips those updates, so params stay finite and training
+            # self-recovers. Abort only on actual corruption.
+            params_ok = all(
+                bool(jnp.all(jnp.isfinite(p)))
+                for p in jax.tree.leaves(jax.device_get(state.params)))
+            if params_ok:
+                print(f"epoch {epoch}: non-finite {sorted(bad)} — "
+                      "update(s) skipped (apply_if_finite), params "
+                      "healthy, continuing")
+            else:
+                raise SystemExit(
+                    f"non-finite params at epoch {epoch} ({bad}) — "
+                    "lower --lr / --alpha_pde or rerun with --debug_nans "
+                    "to locate the producing op")
         step_now = int(jax.device_get(state.step).max()) if hasattr(
             state.step, "max") else int(state.step)
         sec_per_step = (time.time() - t0) / steps_per_epoch

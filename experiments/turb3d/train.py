@@ -73,7 +73,8 @@ def add_turb3d_args(parser: argparse.ArgumentParser) -> None:
     p("--seed", type=int, default=42)
     p("--viscosity", type=float, default=1e-2)
     p("--inner_steps", type=int, default=1)
-    p("--pde_derivs", type=str, default="jet", choices=("jet", "tower"))
+    p("--pde_derivs", type=str, default="jet",
+      choices=("jet", "jet_jnp", "tower"))
     p("--device_data", type=lambda s: s.lower() in ("1", "true", "yes"),
       default=True, metavar="BOOL")
 

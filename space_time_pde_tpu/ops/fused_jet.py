@@ -529,7 +529,7 @@ def make_fused_jet(*, nf: int, n_corners: int, dim: int, out_dim: int,
 
 def fused_query_jet(imnet, params, latent_grid, pts, xmin=0.0, xmax=1.0,
                     block_pts: int = 256, compute_dtype=jnp.bfloat16,
-                    interpret: bool = False):
+                    interpret: bool = False, pad_to: int = 128):
     """Drop-in fused version of ops.jet.query_local_implicit_grid_jet.
 
     latent_grid [B, *spatial, C]; pts [B, N, D] ->
@@ -539,7 +539,6 @@ def fused_query_jet(imnet, params, latent_grid, pts, xmin=0.0, xmax=1.0,
     """
     dim = pts.shape[-1]
     k = 2 ** dim
-    pad_to = 128
     packed = pack_imnet_params(
         params, imnet.dim, imnet.in_features, imnet.nf,
         dtype=compute_dtype, pad_to=pad_to)

@@ -93,7 +93,14 @@ def make_optimizer(cfg: Config, steps_per_epoch: int = 1000
     tx = optax.adam(sched)
     if cfg.train.clip_grad and cfg.train.clip_grad > 0:
         tx = optax.chain(optax.clip_by_global_norm(cfg.train.clip_grad), tx)
-    return tx
+    # Skip (don't apply) any update whose grads contain non-finite
+    # values instead of corrupting params: clip_by_global_norm maps an
+    # inf norm to all-NaN grads, and one spiked step (measured: inf
+    # grad_norm at epoch 71 of an otherwise-healthy f32 run,
+    # BASELINE.md round-2) would otherwise kill the run. Gives up after
+    # 100 consecutive bad steps so a genuinely diverged run still stops
+    # (the driver aborts on non-finite loss).
+    return optax.apply_if_finite(tx, max_consecutive_errors=100)
 
 
 def init_state(key, cfg: Config, unet: UNet3d, imnet: ImNet,
@@ -180,7 +187,16 @@ def make_loss_fn(cfg: Config, unet: UNet3d, imnet: ImNet,
     use_fused_jet = (use_jet and derivs == "jet"
                      and cfg.model.fused_query
                      and jax.devices()[0].platform != "cpu")
-    jet_dtype = jnp.bfloat16 if cfg.model.use_bf16 else jnp.float32
+    # The jet runs f32 even under use_bf16 unless --pde_bf16 opts in:
+    # 2nd-order residuals are small differences of large terms, and a
+    # measured bf16 run (BASELINE.md round-2) trains normally for ~14
+    # epochs then blows up through the PDE loss (grad_norm 1.6e5 ->
+    # NaN) where the identical f32-jet run is stable. The encoder and
+    # regression query keep the bf16 policy — that's where the FLOPs
+    # are; the jet is ~1/3 of the step.
+    pde_bf16 = getattr(cfg.train, "pde_bf16", False)
+    jet_dtype = (jnp.bfloat16 if (cfg.model.use_bf16 and pde_bf16)
+                 else jnp.float32)
 
     def loss_fn(params, batch, batch_stats=None):
         lres = batch["lres"]
@@ -199,15 +215,24 @@ def make_loss_fn(cfg: Config, unet: UNet3d, imnet: ImNet,
 
         if use_fused_jet:
             from space_time_pde_tpu.ops.fused_jet import fused_query_jet
+            # dim=4 has 2x the corner rows and 4/3 the tangent chains
+            # per point — smaller point blocks keep the chain
+            # activations inside VMEM.
+            bp = 256 if imnet.dim == 3 else 64
             pred, jac, hess = fused_query_jet(
                 imnet, params["imnet"], latent, coords,
-                compute_dtype=jet_dtype)
+                block_pts=bp, compute_dtype=jet_dtype)
         elif use_jet:
             from space_time_pde_tpu.ops.jet import (
                 query_local_implicit_grid_jet,
             )
+            # clone(dtype=...) overrides the module's compute policy for
+            # the jet only (ImNet casts its input to self.dtype).
+            jet_imnet = imnet.clone(dtype=jet_dtype)
+            jet_dec = lambda v: jet_imnet.apply(
+                {"params": params["imnet"]}, v)
             pred, jac, hess = query_local_implicit_grid_jet(
-                decoder, latent, coords)
+                jet_dec, latent.astype(jet_dtype), coords)
         else:
             pred = fwd(coords)
         reg = _reg_loss(kind, pred, target)

@@ -76,7 +76,10 @@ class TrainConfig:
     lr_schedule: str = "constant"   # constant | cosine
     ckpt_every_epochs: int = 1
     keep_checkpoints: int = 3
-    pde_derivs: str = "jet"         # jet | tower (see ops/jet.py)
+    pde_derivs: str = "jet"         # jet (fused Pallas on TPU) | jet_jnp | tower
+    pde_bf16: bool = False          # let the PDE jet follow use_bf16 (default:
+                                    # jet stays f32 — bf16 2nd-order diverges,
+                                    # see BASELINE.md round-2)
 
 
 @dataclass
@@ -115,6 +118,7 @@ _FLAG_MAP = {
     "num_devices": ("train", "num_devices"),
     "lr_schedule": ("train", "lr_schedule"),
     "pde_derivs": ("train", "pde_derivs"),
+    "pde_bf16": ("train", "pde_bf16"),
     "data_folder": ("data", "data_folder"),
     "train_data": ("data", "train_data"),
     "eval_data": ("data", "eval_data"),

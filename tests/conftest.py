@@ -19,6 +19,14 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 
+# Persistent XLA compilation cache: the suite's wall time is dominated
+# by shard_map/scan compiles (the shapes are tiny); caching them makes
+# every run after the first start warm. Keyed on program + jax version,
+# so stale hits are not a correctness risk.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/stpde_xla_test"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 # Repo root on sys.path so `space_time_pde_tpu` imports without install.
 _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _ROOT)

@@ -30,9 +30,12 @@ def _setup(nf=2, lat=8, out=4, dim=3, seed=0):
     return imnet, params
 
 
-def _fused(imnet, params, latent, pts, block_pts=16):
+def _fused(imnet, params, latent, pts, block_pts=16, pad_to=16):
+    # pad_to=16 keeps interpret-mode wall time sane for the tiny test
+    # widths; one forward case below runs the production pad_to=128
+    # packing (padded lanes must carry exact zeros either way).
     return fused_query_jet(imnet, params, latent, pts,
-                           block_pts=block_pts,
+                           block_pts=block_pts, pad_to=pad_to,
                            compute_dtype=jnp.float32, interpret=True)
 
 
@@ -41,14 +44,32 @@ def _jnp_jet(imnet, params, latent, pts):
     return query_local_implicit_grid_jet(dec, latent, pts)
 
 
-@pytest.mark.parametrize("n,block", [(32, 16), (23, 16), (5, 8)])
-def test_fused_jet_forward_parity(n, block):
+@pytest.mark.parametrize("n,block,pad", [(32, 16, 128), (23, 16, 16),
+                                         (5, 8, 16)])
+def test_fused_jet_forward_parity(n, block, pad):
     imnet, params = _setup()
     rng = np.random.RandomState(0)
     latent = jnp.asarray(rng.randn(2, 4, 5, 6, 8).astype(np.float32))
     pts = jnp.asarray(rng.rand(2, n, 3).astype(np.float32))
 
-    v1, j1, h1 = _fused(imnet, params, latent, pts, block)
+    v1, j1, h1 = _fused(imnet, params, latent, pts, block, pad_to=pad)
+    v2, j2, h2 = _jnp_jet(imnet, params, latent, pts)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(j1), np.asarray(j2),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(h1), np.asarray(h2),
+                               rtol=2e-4, atol=2e-3)
+
+
+def test_fused_jet_4d_parity():
+    """dim=4 (turb3d): 16 corner rows, 4 stacked tangent chains, 15 jet
+    blocks — value/jac/hess match the jnp jet."""
+    imnet, params = _setup(nf=2, lat=4, out=2, dim=4, seed=5)
+    rng = np.random.RandomState(4)
+    latent = jnp.asarray(rng.randn(1, 3, 3, 4, 4, 4).astype(np.float32))
+    pts = jnp.asarray(rng.rand(1, 10, 4).astype(np.float32))
+    v1, j1, h1 = _fused(imnet, params, latent, pts, block_pts=8)
     v2, j2, h2 = _jnp_jet(imnet, params, latent, pts)
     np.testing.assert_allclose(np.asarray(v1), np.asarray(v2),
                                rtol=2e-4, atol=2e-5)
@@ -136,8 +157,8 @@ def test_fused_jet_in_training_loss():
         latent = unet.apply({"params": params["unet"]}, lres)
         if jet_impl == "fused":
             pred, jac, hess = fused_query_jet(
-                imnet, params["imnet"], latent, coords,
-                block_pts=8, compute_dtype=jnp.float32, interpret=True)
+                imnet, params["imnet"], latent, coords, block_pts=8,
+                pad_to=16, compute_dtype=jnp.float32, interpret=True)
         else:
             dec = lambda v: imnet.apply({"params": params["imnet"]}, v)
             pred, jac, hess = query_local_implicit_grid_jet(

@@ -328,6 +328,54 @@ def test_bf16_policy_keeps_f32_physics_accumulation():
     assert abs(pde16 - pde32) / (abs(pde32) + 1e-8) < 0.35
 
 
+def test_bf16_policy_runs_jet_in_f32(monkeypatch):
+    """Under use_bf16 the derivative jet itself runs f32 (default
+    pde_bf16=False): a measured bf16-jet run diverges at epoch ~14
+    where the f32-jet run is stable (BASELINE.md round-2). The latent
+    handed to the jet must arrive as f32."""
+    from space_time_pde_tpu.physics.systems import get_pde_layer
+    from space_time_pde_tpu.train.trainer import (
+        build_models, init_state, make_loss_fn, make_optimizer,
+    )
+    import space_time_pde_tpu.ops.jet as jet_mod
+
+    seen = {}
+    real = jet_mod.query_local_implicit_grid_jet
+
+    def spy(decoder, latent, coords, *a, **k):
+        seen["latent_dtype"] = latent.dtype
+        return real(decoder, latent, coords, *a, **k)
+
+    monkeypatch.setattr(jet_mod, "query_local_implicit_grid_jet", spy)
+
+    rng = np.random.RandomState(0)
+    batch = {
+        "lres": jnp.asarray(rng.randn(1, 4, 8, 8, 4).astype(np.float32)),
+        "point_coord": jnp.asarray(rng.rand(1, 8, 3).astype(np.float32)),
+        "point_value": jnp.asarray(rng.randn(1, 8, 4).astype(np.float32)),
+    }
+    pde = get_pde_layer("rb2d", mean=np.zeros(4), std=np.ones(4),
+                        t_crop=1.0, z_crop=1.0, x_crop=1.0)
+    cfg = Config()
+    cfg.model.lat_dims = 4
+    cfg.model.unet_nf = 4
+    cfg.model.imnet_nf = 2
+    cfg.model.use_bf16 = True
+    cfg.train.alpha_pde = 0.1
+    unet, imnet = build_models(cfg, (4, 8, 8))
+    state = init_state(jax.random.PRNGKey(0), cfg, unet, imnet,
+                       make_optimizer(cfg))
+    loss, _ = make_loss_fn(cfg, unet, imnet, pde)(state.params, batch)
+    assert np.isfinite(float(loss))
+    assert seen["latent_dtype"] == jnp.float32
+
+    # Explicit opt-in flips the jet to bf16.
+    cfg.train.pde_bf16 = True
+    seen.clear()
+    make_loss_fn(cfg, unet, imnet, pde)(state.params, batch)
+    assert seen["latent_dtype"] == jnp.bfloat16
+
+
 # ------------------------------------------------------------- velonly
 
 def test_velonly_flag_wiring():
