@@ -253,8 +253,8 @@ def main():
     assert local_rows * n_proc == batch_per_step, (
         f"global batch {batch_per_step} not divisible by "
         f"{n_proc} processes")
-    eval_batch = {k: jnp.asarray(v) for k, v in
-                  eval_ds.sample_batch(eval_rng, batch_per_step).items()}
+    eval_batch_host = eval_ds.sample_batch(eval_rng, batch_per_step)
+    eval_batch = {k: jnp.asarray(v) for k, v in eval_batch_host.items()}
     if n_proc > 1:
         # Same seed on every process => identical full batch; declare it
         # replicated over the mesh so eval composes with global params.
@@ -320,6 +320,13 @@ def main():
                         raw, mesh, batch_axis=1 if inner > 1 else 0)
                 else:
                     batch = {k: jnp.asarray(v) for k, v in raw.items()}
+                if sampler is not None and ndev == 1:
+                    # The HBM field rides as an explicit (scan-
+                    # invariant) input, not a baked executable
+                    # constant, so a refresh()ed buffer heals the step
+                    # without recompiling.
+                    batch["_const_field" if inner > 1 else "field"] = \
+                        sampler.data
                 if place_fn is not None:
                     state, batch = place_fn(state, batch)
                 state, metrics = step_fn(state, batch)
@@ -336,9 +343,21 @@ def main():
                 bool(jnp.all(jnp.isfinite(p)))
                 for p in jax.tree.leaves(jax.device_get(state.params)))
             if params_ok:
+                # Params are healthy, so the non-finite step came from a
+                # transient spike (update skipped by apply_if_finite) OR
+                # from corrupted device-side input buffers (observed on
+                # the experimental remote-TPU runtime: a run whose
+                # checkpointed params stay healthy while every step
+                # returns inf). Heal both: re-upload the HBM field and
+                # the eval batch to FRESH buffers — with the field as an
+                # explicit step input this needs no recompile.
+                if sampler is not None and n_proc == 1:
+                    sampler.refresh()
+                    eval_batch = {k: jnp.asarray(np.asarray(v))
+                                  for k, v in eval_batch_host.items()}
                 print(f"epoch {epoch}: non-finite {sorted(bad)} — "
                       "update(s) skipped (apply_if_finite), params "
-                      "healthy, continuing")
+                      "healthy; device buffers re-uploaded, continuing")
             else:
                 raise SystemExit(
                     f"non-finite params at epoch {epoch} ({bad}) — "

@@ -70,6 +70,7 @@ class DeviceSampler:
             raise ValueError(
                 "DeviceSampler supports lres_filter='none' only "
                 f"(got {ds.lres_filter!r}); use the host pipeline")
+        self._host_data = np.asarray(ds.data)          # for refresh()
         self.data = jnp.asarray(ds.data)               # [*spatial, C]
         self.mean = jnp.asarray(ds.channel_mean, jnp.float32)
         self.std = jnp.asarray(ds.channel_std, jnp.float32)
@@ -89,6 +90,14 @@ class DeviceSampler:
     def supported(ds) -> bool:
         return getattr(ds, "lres_filter", "none") == "none"
 
+    def refresh(self):
+        """Re-upload the field to a FRESH device buffer (failure
+        recovery: heals a corrupted HBM-resident field without
+        recompiling — the field rides the batch as `_const_field`, so
+        the compiled step picks up the new buffer on the next call)."""
+        self.data = jnp.asarray(self._host_data)
+        return self.data
+
     # -------------------------------------------------------- host side
 
     def draw(self, rng: np.random.RandomState, batch_size: int
@@ -104,24 +113,32 @@ class DeviceSampler:
     # ------------------------------------------------------ device side
 
     def _read(self, pts_crop: jnp.ndarray, origin: jnp.ndarray,
-              method: str) -> jnp.ndarray:
+              method: str, field: jnp.ndarray) -> jnp.ndarray:
         """Read crop-normalized points [N, D] of one crop -> [N, C]."""
         sizes = jnp.asarray(self.crop_sizes, jnp.float32)
-        gsizes = jnp.asarray(self.data.shape[:self.dim], jnp.float32)
+        gsizes = jnp.asarray(field.shape[:self.dim], jnp.float32)
         s_idx = origin.astype(jnp.float32) + pts_crop * (sizes - 1.0)
         p_glob = s_idx / (gsizes - 1.0)
         if method == "nearest":
-            return _nearest_interp(self.data, p_glob)
-        return multilinear_interp(self.data, p_glob)
+            return _nearest_interp(field, p_glob)
+        return multilinear_interp(field, p_glob)
 
-    def batch_fn(self, origins: jnp.ndarray, pts: jnp.ndarray
-                 ) -> Dict[str, jnp.ndarray]:
-        """(origins [B, 3], pts [B, N, 3]) -> normalized batch dict."""
+    def batch_fn(self, origins: jnp.ndarray, pts: jnp.ndarray,
+                 field: jnp.ndarray = None) -> Dict[str, jnp.ndarray]:
+        """(origins [B, 3], pts [B, N, 3]) -> normalized batch dict.
+
+        ``field`` overrides the captured device field — passing it as a
+        real argument (driver: ``_const_field`` batch key) keeps it out
+        of the compiled executable's baked constants, so a re-uploaded
+        buffer (``refresh()``) takes effect without recompiling.
+        """
+        if field is None:
+            field = self.data
         b = pts.shape[0]
         lres = jax.vmap(lambda o: self._read(
-            self.lattice, o, self.lres_interp))(origins)
+            self.lattice, o, self.lres_interp, field))(origins)
         lres = lres.reshape(b, *self.lres_sizes, -1)
-        vals = jax.vmap(lambda p, o: self._read(p, o, "linear"))(
+        vals = jax.vmap(lambda p, o: self._read(p, o, "linear", field))(
             pts, origins)
         lres = (lres - self.mean) / self.std
         vals = (vals - self.mean) / self.std
@@ -130,12 +147,14 @@ class DeviceSampler:
         return {"lres": lres, "point_coord": pts, "point_value": vals}
 
     def wrap_loss(self, loss_fn):
-        """loss_fn over host batches -> loss_fn over (origins, pts)
-        raw batches; batch assembly traces into the same XLA graph."""
+        """loss_fn over host batches -> loss_fn over (origins, pts[,
+        field]) raw batches; batch assembly traces into the same XLA
+        graph."""
 
         def loss2(params, raw, *extra):
             return loss_fn(params, self.batch_fn(raw["origins"],
-                                                 raw["point_coord"]),
+                                                 raw["point_coord"],
+                                                 raw.get("field")),
                            *extra)
 
         return loss2

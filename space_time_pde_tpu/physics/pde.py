@@ -198,10 +198,31 @@ class PDELayer:
 
     def residual_loss(self, coords: Array,
                       fwd: Optional[Callable[[Array], Array]] = None,
-                      jet=None) -> Tuple[Array, Dict[str, Array]]:
-        """Mean-square residual per equation and their sum (the pde loss)."""
+                      jet=None, kind: str = "l2",
+                      huber_delta: float = 1.0
+                      ) -> Tuple[Array, Dict[str, Array]]:
+        """Residual penalty per equation and their sum (the pde loss).
+
+        kind='l2' (reference: mean-square residuals) or 'huber':
+        quadratic near zero, LINEAR for |r| > delta — bounds each
+        residual's gradient influence, taming the 2nd-order loss
+        cliffs a piecewise-linear decoder can hit mid-training (see
+        BASELINE.md round-2 spike investigation; same minimizer for
+        residuals driven under delta).
+        """
         res = self(coords, fwd=fwd, jet=jet)
-        per_eq = {n: jnp.mean(jnp.square(r)) for n, r in res.items()}
+        if kind == "huber":
+            d = huber_delta
+
+            def pen(r):
+                a = jnp.abs(r)
+                return jnp.mean(jnp.where(a <= d, 0.5 * r * r,
+                                          d * (a - 0.5 * d)))
+        elif kind == "l2":
+            pen = lambda r: jnp.mean(jnp.square(r))
+        else:
+            raise ValueError(f"unknown pde loss kind: {kind!r}")
+        per_eq = {n: pen(r) for n, r in res.items()}
         total = sum(per_eq.values())
         return total, per_eq
 

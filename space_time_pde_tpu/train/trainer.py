@@ -241,7 +241,8 @@ def make_loss_fn(cfg: Config, unet: UNet3d, imnet: ImNet,
         if pde_layer is not None and alpha > 0:
             pde_total, per_eq = pde_layer.residual_loss(
                 coords, fwd=fwd,
-                jet=(pred, jac, hess) if use_jet else None)
+                jet=(pred, jac, hess) if use_jet else None,
+                kind=getattr(cfg.train, "pde_loss_type", "l2"))
             metrics["pde_loss"] = pde_total
             for n, v in per_eq.items():
                 metrics[f"pde/{n}"] = v
@@ -302,14 +303,23 @@ def make_multi_step(loss_fn, tx: optax.GradientTransformation,
     otherwise dwarfs the ~10 ms device step.
     """
 
-    def one(state: TrainState, batch):
-        (_, metrics), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params, batch,
-                                   *_loss_args(state))
-        return _apply_grads(state, tx, grads, metrics)
-
     def step(state: TrainState, stacked_batch):
-        return jax.lax.scan(one, state, stacked_batch)
+        # Keys prefixed "_const_" are per-dispatch constants (e.g. the
+        # HBM-resident training field): scan-invariant, passed whole to
+        # every inner step instead of being sliced along the leading
+        # axis.
+        const = {k[len("_const_"):]: v for k, v in stacked_batch.items()
+                 if k.startswith("_const_")}
+        scanned = {k: v for k, v in stacked_batch.items()
+                   if not k.startswith("_const_")}
+
+        def one(state: TrainState, batch):
+            (_, metrics), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params, {**batch, **const},
+                                       *_loss_args(state))
+            return _apply_grads(state, tx, grads, metrics)
+
+        return jax.lax.scan(one, state, scanned)
 
     if jit:
         step = jax.jit(step, donate_argnums=(0,))

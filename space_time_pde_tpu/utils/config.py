@@ -80,6 +80,8 @@ class TrainConfig:
     pde_bf16: bool = False          # let the PDE jet follow use_bf16 (default:
                                     # jet stays f32 — bf16 2nd-order diverges,
                                     # see BASELINE.md round-2)
+    pde_loss_type: str = "l2"       # l2 (reference) | huber (bounded-influence
+                                    # residuals; tames 2nd-order loss cliffs)
 
 
 @dataclass
@@ -119,6 +121,7 @@ _FLAG_MAP = {
     "lr_schedule": ("train", "lr_schedule"),
     "pde_derivs": ("train", "pde_derivs"),
     "pde_bf16": ("train", "pde_bf16"),
+    "pde_loss_type": ("train", "pde_loss_type"),
     "data_folder": ("data", "data_folder"),
     "train_data": ("data", "train_data"),
     "eval_data": ("data", "eval_data"),

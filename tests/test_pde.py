@@ -228,3 +228,36 @@ def test_residual_loss_and_jit():
 
     out = loss_fn(coords)
     assert np.isfinite(float(out))
+
+
+def test_residual_loss_huber_bounds_influence():
+    """kind='huber': quadratic (== l2/1) for small residuals, LINEAR in
+    |r| for large ones — so a residual cliff contributes O(delta) to
+    the gradient instead of O(r) (the round-2 spike pathology)."""
+    layer = get_rb2_pde_layer()
+    scale_holder = {"s": 1.0}
+    layer.update_forward_method(
+        lambda c: scale_holder["s"] * jnp.stack(
+            [jnp.sin(c[..., 0]), c[..., 1] ** 2,
+             c[..., 2], c[..., 0] * c[..., 1]], axis=-1))
+    coords = _rand_coords(seed=3)
+
+    l2, _ = layer.residual_loss(coords, kind="l2")
+    hu, _ = layer.residual_loss(coords, kind="huber", huber_delta=1e6)
+    # Far below delta the huber penalty is exactly half the square.
+    np.testing.assert_allclose(float(hu), 0.5 * float(l2), rtol=1e-5)
+
+    # Huge residuals: huber grows ~linearly, l2 quadratically.
+    scale_holder["s"] = 1e6
+    l2_big, _ = layer.residual_loss(coords, kind="l2")
+    hu_big, _ = layer.residual_loss(coords, kind="huber")
+    # huber ~ delta*mean|r| vs l2 ~ mean r^2: orders of magnitude
+    # smaller once residuals blow past delta.
+    assert float(hu_big) < 1e-6 * float(l2_big)
+    res = layer(coords)
+    l1_sum = sum(float(jnp.mean(jnp.abs(r))) for r in res.values())
+    np.testing.assert_allclose(float(hu_big), l1_sum, rtol=1e-3)
+
+    import pytest
+    with pytest.raises(ValueError, match="unknown pde loss kind"):
+        layer.residual_loss(coords, kind="l3")
