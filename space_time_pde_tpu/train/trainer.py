@@ -216,9 +216,11 @@ def make_loss_fn(cfg: Config, unet: UNet3d, imnet: ImNet,
         if use_fused_jet:
             from space_time_pde_tpu.ops.fused_jet import fused_query_jet
             # dim=4 has 2x the corner rows and 4/3 the tangent chains
-            # per point — smaller point blocks keep the chain
-            # activations inside VMEM.
+            # per point, and widths scale with nf — smaller point
+            # blocks keep the chain activations inside VMEM.
             bp = 256 if imnet.dim == 3 else 64
+            if imnet.nf > 64:
+                bp = min(bp, 128)
             pred, jac, hess = fused_query_jet(
                 imnet, params["imnet"], latent, coords,
                 block_pts=bp, compute_dtype=jet_dtype)
