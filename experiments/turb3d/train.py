@@ -75,6 +75,9 @@ def add_turb3d_args(parser: argparse.ArgumentParser) -> None:
     p("--inner_steps", type=int, default=1)
     p("--pde_derivs", type=str, default="jet",
       choices=("jet", "jet_jnp", "tower"))
+    p("--pde_loss_type", type=str, default="l2", choices=("l2", "huber"))
+    p("--pde_bf16", type=lambda s: s.lower() in ("1", "true", "yes"),
+      default=False, metavar="BOOL")
     p("--device_data", type=lambda s: s.lower() in ("1", "true", "yes"),
       default=True, metavar="BOOL")
 
@@ -105,6 +108,8 @@ def make_config(args) -> Config:
     cfg.train.lr_schedule = args.lr_schedule
     cfg.train.epochs = args.epochs
     cfg.train.pde_derivs = args.pde_derivs
+    cfg.train.pde_loss_type = args.pde_loss_type
+    cfg.train.pde_bf16 = args.pde_bf16
     cfg.physics.pde_system = "ns3d"
     cfg.physics.viscosity = args.viscosity
     cfg.data.data_folder = args.data_folder
@@ -217,9 +222,29 @@ def main():
         t0 = time.time()
         for _ in range(max(1, steps_per_epoch // inner)):
             batch = {k: jnp.asarray(v) for k, v in prefetcher.get().items()}
+            if sampler is not None:
+                # Explicit (scan-invariant) field input: heals via
+                # sampler.refresh() without recompiling (see rb2d).
+                batch["_const_field" if inner > 1 else "field"] = \
+                    sampler.data
             state, metrics = step_fn(state, batch)
         jax.block_until_ready(state.params)
         metrics = {k: float(v) for k, v in metrics.items()}
+        if not all(np.isfinite(v) for v in metrics.values()):
+            bad = sorted(k for k, v in metrics.items()
+                         if not np.isfinite(v))
+            params_ok = all(
+                bool(jnp.all(jnp.isfinite(p)))
+                for p in jax.tree.leaves(jax.device_get(state.params)))
+            if params_ok:
+                if sampler is not None:
+                    sampler.refresh()
+                print(f"epoch {epoch}: non-finite {bad} — update(s) "
+                      "skipped, params healthy, continuing")
+            else:
+                raise SystemExit(
+                    f"non-finite params at epoch {epoch} ({bad}) — "
+                    "lower --lr / --alpha_pde")
         sec_per_step = (time.time() - t0) / steps_per_epoch
         metrics["sec_per_step"] = sec_per_step
         logger.log(int(state.step), metrics, prefix="train/")
