@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from space_time_pde_tpu.data.dataset4d import Field4DDataset
-from space_time_pde_tpu.models import ImNet, UNet4d, \
+from space_time_pde_tpu.models import UNet4d, \
     query_local_implicit_grid
 from space_time_pde_tpu.train.trainer import make_optimizer
 from space_time_pde_tpu.utils.checkpoint import CheckpointManager

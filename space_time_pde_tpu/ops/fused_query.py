@@ -41,8 +41,9 @@ Measured (1x v5e, 32k points, nf=32): kernel 108 TFLOP/s (55% of bf16
 peak), full path 15M+ query points/s — see BASELINE.md.
 
 The pure-jnp path (models/local_implicit_grid.py) remains the parity
-oracle and the differentiable training path; this kernel is the
-inference/eval fast path (custom VJP comes later).
+oracle; this kernel is the inference/eval fast path. The TRAINING hot
+path runs its own custom-VJP Pallas kernel pair — the derivative jet
+in ops/fused_jet.py (value + coordinate Jacobian/Hessian + backward).
 """
 
 from __future__ import annotations

@@ -5,14 +5,14 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 import pytest
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import PartitionSpec as P
 
 from space_time_pde_tpu.data import RB2DataLoader, save_npz, taylor_green_fields
 from space_time_pde_tpu.parallel.dp_sp import (
     make_dp_sp_batch, make_dp_sp_train_step,
 )
 from space_time_pde_tpu.physics import get_rb2_pde_layer
-from space_time_pde_tpu.train import build_models, init_state, make_train_step
+from space_time_pde_tpu.train import build_models, init_state
 from space_time_pde_tpu.utils.config import Config
 
 

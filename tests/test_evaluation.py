@@ -1,8 +1,5 @@
 """Evaluation-driver internals: dense_query correctness on CPU."""
 
-import os
-import sys
-
 import jax
 import jax.numpy as jnp
 import numpy as np

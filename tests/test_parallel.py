@@ -8,7 +8,7 @@ import pytest
 
 from space_time_pde_tpu.data import RB2DataLoader, save_npz, taylor_green_fields
 from space_time_pde_tpu.parallel import (
-    make_dp_train_step, make_mesh, replicate_state, shard_batch,
+    make_dp_train_step, replicate_state, shard_batch,
 )
 from space_time_pde_tpu.train import (
     build_models, init_state, make_loss_fn, make_train_step,

@@ -14,7 +14,7 @@ import numpy as np
 import pytest
 import torch
 
-from space_time_pde_tpu.models import ImNet, UNet3d
+from space_time_pde_tpu.models import ImNet
 from space_time_pde_tpu.models.nonlinearities import (
     NONLINEARITIES, PIECEWISE_LINEAR, get_activation,
 )

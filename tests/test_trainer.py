@@ -13,7 +13,7 @@ from space_time_pde_tpu.data import (
 )
 from space_time_pde_tpu.physics import get_rb2_pde_layer
 from space_time_pde_tpu.train import (
-    TrainState, build_models, init_state, make_eval_fn, make_loss_fn,
+    build_models, init_state, make_eval_fn, make_loss_fn,
     make_train_step,
 )
 from space_time_pde_tpu.train.trainer import make_optimizer

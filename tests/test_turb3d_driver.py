@@ -1,8 +1,5 @@
 """turb3d driver internals: 4-D dense query parity on CPU."""
 
-import os
-import sys
-
 import jax
 import jax.numpy as jnp
 import numpy as np
