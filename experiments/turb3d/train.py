@@ -178,7 +178,21 @@ def main():
         step_fn = make_multi_step(loss_fn, tx, inner)
     else:
         step_fn = make_train_step(loss_fn, tx)
-    eval_fn = make_eval_fn(cfg, unet, imnet)
+    # The jnp 16-corner query SEGFAULTS this environment's XLA:TPU
+    # compiler (bisected: UNet4d and the fused 4-D kernels compile
+    # fine; the gather/blend program does not). On TPU, eval goes
+    # through the fused Pallas query instead — parity-tested against
+    # the jnp path in tests/test_4d.py.
+    imnet_query_fn = None
+    if jax.devices()[0].platform != "cpu":
+        from space_time_pde_tpu.ops.fused_query import (
+            fused_query_local_implicit_grid,
+        )
+        imnet_query_fn = (
+            lambda p, latent, c: fused_query_local_implicit_grid(
+                imnet, p, latent, c, block_pts=64))
+    eval_fn = make_eval_fn(cfg, unet, imnet,
+                           imnet_query_fn=imnet_query_fn)
 
     ckpt_dir = os.path.join(args.log_dir, "checkpoints")
     mngr = CheckpointManager(ckpt_dir, keep=3)

@@ -135,13 +135,17 @@ def _reg_loss(kind: str, pred, target):
 
 
 def make_forward_fn(unet: UNet3d, imnet: ImNet,
-                    query_fn: Optional[Callable] = None):
+                    query_fn: Optional[Callable] = None,
+                    imnet_query_fn: Optional[Callable] = None):
     """Returns fwd(params, lres, coords[, batch_stats]) -> fields at coords.
 
-    query_fn overrides the LIG query implementation (e.g. the fused
-    Pallas kernel); default is the pure-jnp path. ``batch_stats`` is
-    only needed for the BatchNorm encoder mode (inference uses the
-    running averages).
+    query_fn overrides the LIG query implementation (signature
+    ``(decoder, latent, coords)``); imnet_query_fn is the params-aware
+    variant ``(imnet_params, latent, coords)`` needed by the fused
+    Pallas kernel (it repacks raw params instead of calling a decoder
+    closure). Default is the pure-jnp path. ``batch_stats`` is only
+    needed for the BatchNorm encoder mode (inference uses the running
+    averages).
     """
     query = query_fn or query_local_implicit_grid
 
@@ -150,6 +154,8 @@ def make_forward_fn(unet: UNet3d, imnet: ImNet,
         if batch_stats is not None:
             uvars["batch_stats"] = batch_stats
         latent = unet.apply(uvars, lres)
+        if imnet_query_fn is not None:
+            return imnet_query_fn(params["imnet"], latent, coords)
         decoder = lambda v: imnet.apply({"params": params["imnet"]}, v)
         return query(decoder, latent, coords)
 
@@ -334,10 +340,12 @@ def make_multi_step(loss_fn, tx: optax.GradientTransformation,
 
 
 def make_eval_fn(cfg: Config, unet: UNet3d, imnet: ImNet,
-                 query_fn: Optional[Callable] = None, jit: bool = True):
+                 query_fn: Optional[Callable] = None, jit: bool = True,
+                 imnet_query_fn: Optional[Callable] = None):
     """Relative-L2 of predictions vs point ground truth (the paper's
     SR quality metric, computed on held-out crops)."""
-    forward = make_forward_fn(unet, imnet, query_fn)
+    forward = make_forward_fn(unet, imnet, query_fn,
+                              imnet_query_fn=imnet_query_fn)
 
     def eval_fn(params, batch, batch_stats=None):
         pred = forward(params, batch["lres"], batch["point_coord"],

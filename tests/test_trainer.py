@@ -106,6 +106,23 @@ def test_eval_fn_rel_l2(tiny_setup):
     assert np.isfinite(float(m["rel_l2"]))
     assert m["rel_l2_per_channel"].shape == (4,)
 
+    # Params-aware query hook (the TPU turb3d eval path — the jnp 4-D
+    # query segfaults XLA:TPU there; here just verify the hook routes
+    # and matches the default jnp path when given the same math).
+    from space_time_pde_tpu.models import query_local_implicit_grid
+    seen = {}
+
+    def iq(imnet_params, latent, coords):
+        seen["called"] = True
+        dec = lambda v: imnet.apply({"params": imnet_params}, v)
+        return query_local_implicit_grid(dec, latent, coords)
+
+    eval_fn2 = make_eval_fn(cfg, unet, imnet, imnet_query_fn=iq)
+    m2 = eval_fn2(state.params, batch)
+    assert seen.get("called")
+    np.testing.assert_allclose(float(m2["rel_l2"]), float(m["rel_l2"]),
+                               rtol=1e-6)
+
 
 def test_checkpoint_roundtrip(tiny_setup, tmp_path):
     from space_time_pde_tpu.utils.checkpoint import CheckpointManager
