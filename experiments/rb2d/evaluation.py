@@ -110,9 +110,12 @@ def main():
     args = parser.parse_args()
     # Flags the user actually typed (vs argparse defaults) — needed so a
     # CLI value can also override a checkpointed value BACK to a
-    # flag's default.
-    explicit = {a[2:].split("=")[0] for a in sys.argv[1:]
-                if a.startswith("--")}
+    # flag's default. Re-parse with every default suppressed: only
+    # explicitly-passed dests survive, so prefix abbreviations
+    # (e.g. ``--eval_wind 8``) resolve correctly too.
+    for action in parser._actions:
+        action.default = argparse.SUPPRESS
+    explicit = set(vars(parser.parse_known_args()[0]))
 
     mngr = CheckpointManager(args.ckpt)
     raw_state, extra = mngr.restore()

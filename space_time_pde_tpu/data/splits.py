@@ -28,8 +28,8 @@ Canonical filenames (our generator's convention —
 
 from __future__ import annotations
 
+import warnings
 from dataclasses import dataclass
-from typing import Tuple
 
 import numpy as np
 
@@ -52,8 +52,22 @@ def window_starts(n_frames: int, nt: int, n_windows: int,
         raise ValueError(f"n_frames {n_frames} < window nt {nt}")
     max_t0 = n_frames - nt
     grid = np.linspace(0, max_t0, 2 * n_windows + 1)
-    pick = grid[1::2] if parity else grid[0::2][:n_windows]
-    return np.unique(pick.astype(int))
+    val = np.unique(grid[0::2][:n_windows].astype(int))
+    if not parity:
+        return val
+    # Short datasets (max_t0 < 2*n_windows) can round an odd (test)
+    # grid point onto an even (val) one; drop such collisions so the
+    # 'val and test windows never coincide' guarantee actually holds.
+    test = np.setdiff1d(np.unique(grid[1::2].astype(int)), val)
+    if len(test) == 0:
+        raise ValueError(
+            f"dataset too short for disjoint val/test windows: "
+            f"n_frames={n_frames}, nt={nt}, n_windows={n_windows}")
+    if len(test) < n_windows:
+        warnings.warn(
+            f"only {len(test)}/{n_windows} test windows are disjoint "
+            f"from val windows (n_frames={n_frames}, nt={nt})")
+    return test
 
 
 def val_windows(n_frames: int, nt: int, n_windows: int = 4) -> np.ndarray:

@@ -379,7 +379,7 @@ def _jet_bwd_kernel(feats_ref, frac_ref, wxf_ref, wxr_ref, cb_ref,
 def make_fused_jet(*, nf: int, n_corners: int, dim: int, out_dim: int,
                    negative_slope: float = 0.01, block_pts: int = 256,
                    compute_dtype=jnp.bfloat16, interpret: bool = False,
-                   pad_to: int = 128):
+                   pad_to: int = 128, activation: str = "leaky_relu"):
     """Build the custom-VJP fused jet:
 
     ``jet(feats2 [N*K, C], frac [N, dim], packed) ->
@@ -388,7 +388,18 @@ def make_fused_jet(*, nf: int, n_corners: int, dim: int, out_dim: int,
     every packed parameter; ``frac`` receives zero cotangent (query
     coordinates are data, not trained — matching what the training loss
     needs; the COORDINATE derivatives are the jet outputs themselves).
+
+    ``activation`` must be piecewise-linear (the jet math assumes zero
+    in-cell second derivative); the kernel's two-branch mask covers both
+    entries — ``relu`` is the slope-0 special case of ``leaky_relu``.
     """
+    from space_time_pde_tpu.models.nonlinearities import PIECEWISE_LINEAR
+    if activation not in PIECEWISE_LINEAR:
+        raise ValueError(
+            f"fused jet requires a piecewise-linear activation, got "
+            f"{activation!r}; available: {sorted(PIECEWISE_LINEAR)}")
+    if activation == "relu":
+        negative_slope = 0.0
     # pad_to=128 keeps every per-layer xs/wxr column slice lane-aligned
     # (mosaic rejects broadcasts from offset slices); padded lanes carry
     # exact zeros through the jet AND its backward (zero weight
@@ -545,7 +556,8 @@ def fused_query_jet(imnet, params, latent_grid, pts, xmin=0.0, xmax=1.0,
     jet = make_fused_jet(
         nf=imnet.nf, n_corners=k, dim=dim, out_dim=imnet.out_features,
         negative_slope=imnet.negative_slope, block_pts=block_pts,
-        compute_dtype=compute_dtype, interpret=interpret, pad_to=pad_to)
+        compute_dtype=compute_dtype, interpret=interpret, pad_to=pad_to,
+        activation=getattr(imnet, "activation", "leaky_relu"))
 
     b, n = pts.shape[0], pts.shape[1]
     c = latent_grid.shape[-1]

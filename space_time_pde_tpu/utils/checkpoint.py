@@ -71,9 +71,12 @@ class CheckpointManager:
             }
             if template_state.batch_stats is not None:
                 template["batch_stats"] = template_state.batch_stats
-            restored = self._mngr.restore(step, args=ocp.args.Composite(
-                state=ocp.args.StandardRestore(template),
-                extra=ocp.args.JsonRestore()))
+            try:
+                restored = self._mngr.restore(step, args=ocp.args.Composite(
+                    state=ocp.args.StandardRestore(template),
+                    extra=ocp.args.JsonRestore()))
+            except Exception:
+                restored = self._restore_legacy_opt_state(step, template)
         else:
             restored = self._mngr.restore(step)
         s = restored["state"]
@@ -81,6 +84,27 @@ class CheckpointManager:
                            opt_state=s["opt_state"], key=s["key"],
                            batch_stats=s.get("batch_stats"))
         return state, restored.get("extra") or {}
+
+    def _restore_legacy_opt_state(self, step, template):
+        """Migrate checkpoints that predate ``optax.apply_if_finite``.
+
+        Wrapping the optimizer changed the opt_state pytree (the inner
+        state now sits inside an ``ApplyIfFiniteState``), so pre-wrap
+        checkpoints fail ``StandardRestore`` against the new template.
+        Retry with the template's INNER opt_state (the old layout) and
+        re-wrap the restored inner state with the template's fresh
+        counters.
+        """
+        opt_t = template["opt_state"]
+        if not hasattr(opt_t, "inner_state"):
+            raise
+        legacy = dict(template, opt_state=opt_t.inner_state)
+        restored = self._mngr.restore(step, args=ocp.args.Composite(
+            state=ocp.args.StandardRestore(legacy),
+            extra=ocp.args.JsonRestore()))
+        restored["state"]["opt_state"] = opt_t._replace(
+            inner_state=restored["state"]["opt_state"])
+        return restored
 
     def close(self) -> None:
         self._mngr.close()

@@ -79,6 +79,31 @@ def test_fused_jet_4d_parity():
                                rtol=2e-4, atol=2e-3)
 
 
+def test_fused_jet_relu_activation_parity():
+    """--activation relu must compute relu math in the fused kernel
+    (slope-0 masks), not silently reuse leaky_relu's 0.01 slope."""
+    imnet = ImNet(dim=3, in_features=8, out_features=4, nf=2,
+                  activation="relu")
+    key = jax.random.PRNGKey(7)
+    params = imnet.init(key, jnp.zeros((1, 11)))["params"]
+    rng = np.random.RandomState(6)
+    latent = jnp.asarray(rng.randn(1, 3, 4, 4, 8).astype(np.float32))
+    pts = jnp.asarray(rng.rand(1, 16, 3).astype(np.float32))
+    v1, j1, h1 = _fused(imnet, params, latent, pts, block_pts=8)
+    v2, j2, h2 = _jnp_jet(imnet, params, latent, pts)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(j1), np.asarray(j2),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(h1), np.asarray(h2),
+                               rtol=2e-4, atol=2e-3)
+    # And a non-piecewise-linear activation is rejected outright.
+    from space_time_pde_tpu.ops.fused_jet import make_fused_jet
+    with pytest.raises(ValueError, match="piecewise-linear"):
+        make_fused_jet(nf=2, n_corners=8, dim=3, out_dim=4,
+                       activation="gelu")
+
+
 def test_fused_jet_edge_points_parity():
     """Domain-boundary clamps: points at/outside [0,1] hit clamped
     cells and zero dfrac exactly like the jnp jet."""

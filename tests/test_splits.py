@@ -24,6 +24,21 @@ def test_val_test_windows_disjoint():
     assert len(t) == 4
 
 
+def test_short_data_windows_stay_disjoint():
+    """max_t0 < 2*n_windows: the int cast used to round an odd (test)
+    grid point onto an even (val) one — collisions must be dropped, with
+    a warning when fewer than n_windows survive."""
+    n_frames, nt, nw = 21, 16, 4          # max_t0 = 5 < 2*4
+    v = set(val_windows(n_frames, nt, nw).tolist())
+    with pytest.warns(UserWarning, match="disjoint"):
+        t = set(splits.test_windows(n_frames, nt, nw).tolist())
+    assert v.isdisjoint(t)
+    assert len(t) >= 1
+    # Degenerate case: no disjoint test window exists at all.
+    with pytest.raises(ValueError, match="too short"):
+        splits.test_windows(16, 16, 2)
+
+
 def test_window_starts_rejects_short_data():
     with pytest.raises(ValueError, match="< window nt"):
         window_starts(10, 16, 2)

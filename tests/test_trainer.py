@@ -161,6 +161,39 @@ def test_checkpoint_roundtrip(tiny_setup, tmp_path):
     mngr.close()
 
 
+def test_legacy_checkpoint_opt_state_migration(tiny_setup, tmp_path):
+    """Checkpoints written before the optimizer was wrapped in
+    optax.apply_if_finite (a different opt_state pytree) must still
+    restore: the inner state is re-wrapped with fresh counters."""
+    from space_time_pde_tpu.utils.checkpoint import CheckpointManager
+
+    cfg, ds, unet, imnet = tiny_setup
+    tx_new = make_optimizer(cfg)
+    state = init_state(jax.random.PRNGKey(5), cfg, unet, imnet, tx_new)
+    inner = state.opt_state.inner_state
+    legacy_state = state.replace(opt_state=inner)  # pre-wrap layout
+
+    mngr = CheckpointManager(str(tmp_path / "ckpt"), keep=1)
+    mngr.save(0, legacy_state, {"config": cfg.to_dict()})
+
+    template = init_state(jax.random.PRNGKey(6), cfg, unet, imnet, tx_new)
+    restored, _ = mngr.restore(template)
+    assert isinstance(restored.opt_state,
+                      type(template.opt_state))
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a),
+                                                np.asarray(b), atol=0),
+        restored.opt_state.inner_state, inner)
+    # The re-wrapped state steps without error.
+    loss_fn = make_loss_fn(cfg, unet, imnet, pde_layer=None)
+    step = make_train_step(loss_fn, tx_new)
+    batch = {k: jnp.asarray(v)
+             for k, v in ds.sample_batch(np.random.RandomState(5), 1).items()}
+    s2, m = step(restored, batch)
+    assert np.isfinite(float(m["loss"]))
+    mngr.close()
+
+
 def test_multi_step_matches_sequential(tiny_setup):
     import optax
     from space_time_pde_tpu.train.trainer import make_multi_step
