@@ -101,6 +101,8 @@ def main():
     sec = min(secs)
     pts_per_sec = n_pts / sec
 
+    train = _bench_train_step(on_tpu) if on_tpu else None
+
     print(json.dumps({
         "metric": "query_points_per_sec_per_chip",
         "value": round(pts_per_sec, 1),
@@ -115,8 +117,75 @@ def main():
             "imnet_nf": cfg.model.imnet_nf,
             "sec_per_step": sec,
             "timing": "best of %d x %d chained steps" % (iters, K),
+            "train": train,
         },
     }))
+
+
+def _bench_train_step(on_tpu):
+    """Training-step benchmark at the standard config (BASELINE.md
+    round-2 protocol): B=8 crops, 512 MC points, full 2nd-order rb2d
+    PDE loss through the fused Pallas jet, bf16 encoder policy with the
+    f32 jet default. Scan-chained (make_multi_step) with a scalar host
+    fetch as the sync point; reports ms/step and training points/s.
+    """
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from space_time_pde_tpu.physics.systems import get_pde_layer
+    from space_time_pde_tpu.train import build_models
+    from space_time_pde_tpu.train.trainer import (
+        init_state, make_loss_fn, make_multi_step, make_optimizer,
+    )
+    from space_time_pde_tpu.utils.config import Config
+
+    cfg = Config()
+    cfg.model.lat_dims = 32
+    cfg.model.imnet_nf = 32
+    cfg.model.unet_nf = 16
+    cfg.model.use_bf16 = bool(on_tpu)
+    lres_shape = (4, 16, 16)        # 16x128x128 crop at 4x/8x downsamp
+    b, n_pts = 8, 512
+    g = 30                          # chained optimizer steps/dispatch
+
+    unet, imnet = build_models(cfg, lres_shape)
+    pde = get_pde_layer("rb2d", mean=np.zeros(4), std=np.ones(4),
+                        t_crop=1.0, z_crop=1.0, x_crop=1.0)
+    tx = make_optimizer(cfg)
+    state = init_state(jax.random.PRNGKey(0), cfg, unet, imnet, tx)
+    loss_fn = make_loss_fn(cfg, unet, imnet, pde_layer=pde)
+    step = make_multi_step(loss_fn, tx, g)
+
+    key = jax.random.PRNGKey(1)
+    ks = jax.random.split(key, 3)
+    stacked = {
+        "lres": jax.random.normal(
+            ks[0], (g, b, *lres_shape, 4), jnp.float32),
+        "point_coord": jax.random.uniform(
+            ks[1], (g, b, n_pts, 3), jnp.float32),
+        "point_value": jax.random.normal(
+            ks[2], (g, b, n_pts, 4), jnp.float32),
+    }
+
+    state, m = step(state, stacked)             # compile + warm
+    assert jnp.isfinite(float(m["loss"])), "non-finite train bench loss"
+    secs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        state, m = step(state, stacked)
+        float(m["loss"])                        # host-fetch sync
+        secs.append((time.perf_counter() - t0) / g)
+    sec = min(secs)
+    return {
+        "ms_per_step": round(sec * 1e3, 3),
+        "train_points_per_sec": round(b * n_pts / sec, 1),
+        "batch": b, "n_samp_pts_per_crop": n_pts,
+        "pde": "rb2d jet (fused Pallas, f32 under bf16 policy)",
+        "timing": "best of 3 x %d chained optimizer steps" % g,
+    }
 
 
 if __name__ == "__main__":
