@@ -72,7 +72,10 @@ def main():
     # a scalar once: per-call host round-trips through the remote TPU
     # tunnel would otherwise dominate, and the experimental plugin's
     # block_until_ready alone under-synchronizes (measured both ways).
-    K = 50
+    # K=500: the ~30 ms tunnel round trip amortizes to ~0.06 ms/step
+    # (at the former K=50 it was ~0.6 ms/step — a 36% measurement
+    # artifact on a ~1.5 ms step; calibrated with an empty-body scan).
+    K = 500
 
     @jax.jit
     def run_k(params, latent, coords):
@@ -89,7 +92,7 @@ def main():
 
     out = float(run_k(params, latent, coords))  # compile + warm
     assert jnp.isfinite(out), "non-finite benchmark output"
-    # Best-of-N: each sample is already K=50 chained device steps, so
+    # Best-of-N: each sample is already K chained device steps, so
     # min over samples removes remote-tunnel jitter (measured +-20%
     # run-to-run through the axon proxy), not real device variance.
     iters = 5
@@ -149,7 +152,8 @@ def _bench_train_step(on_tpu):
     cfg.model.use_bf16 = bool(on_tpu)
     lres_shape = (4, 16, 16)        # 16x128x128 crop at 4x/8x downsamp
     b, n_pts = 8, 512
-    g = 30                          # chained optimizer steps/dispatch
+    g = 100                         # chained optimizer steps/dispatch
+    # (the ~30 ms dispatch round trip amortizes to ~0.3 ms/step)
 
     unet, imnet = build_models(cfg, lres_shape)
     pde = get_pde_layer("rb2d", mean=np.zeros(4), std=np.ones(4),
