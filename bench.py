@@ -61,7 +61,7 @@ def main():
         )
         query_fn = (lambda p, latent, pts:
                     fused_query_local_implicit_grid(
-                        imnet, p, latent, pts, block_pts=256, pad_to=0))
+                        imnet, p, latent, pts, block_pts=512, pad_to=0))
         kernel = "pallas-fused"
     else:
         query_fn = (lambda p, latent, pts: query_local_implicit_grid(

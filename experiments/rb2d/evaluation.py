@@ -59,7 +59,7 @@ def dense_query(unet, imnet, params, lres, out_shape, chunk=65536,
         @jax.jit
         def query_chunk(p, pts):
             return fused_query_local_implicit_grid(
-                imnet, p, latent, pts, block_pts=256, pad_to=0)
+                imnet, p, latent, pts, block_pts=512, pad_to=0)
     else:
         @jax.jit
         def query_chunk(p, pts):

@@ -49,7 +49,7 @@ in ops/fused_jet.py (value + coordinate Jacobian/Hessian + backward).
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -62,7 +62,9 @@ from space_time_pde_tpu.ops.grid_interp import _locate, corner_offsets
 __all__ = [
     "pack_imnet_params",
     "cell_major_features",
+    "corner_tables",
     "fused_decode_blend",
+    "fused_decode_blend_gather",
     "fused_query_local_implicit_grid",
 ]
 
@@ -151,6 +153,208 @@ def cell_major_features(grid: jnp.ndarray) -> jnp.ndarray:
     cells = jnp.stack(slices, axis=-2)          # [*cells, 2^D, C]
     n_cells = int(np.prod([s - 1 for s in spatial]))
     return cells.reshape(n_cells, offs.shape[0] * grid.shape[-1])
+
+
+def corner_tables(grid: jnp.ndarray, tile: int,
+                  n_windows: int = 1) -> Tuple[jnp.ndarray, int]:
+    """[*spatial, C] node grid -> ([2^D, n_tiles*tile + (W-1)*tile, C],
+    n_tiles) per-corner cell tables for the in-kernel gather.
+
+    Table k row c holds the latent of cell c's k-th corner node (same
+    corner order as ``corner_offsets``); rows are padded with zeros to
+    a whole number of ``tile``-row tiles plus ``n_windows - 1`` extra
+    tiles so a window anchored at the last tile never reads out of
+    bounds. Built from 2^D structured shifted slices — no random
+    access, exactly like ``cell_major_features`` but corner-major.
+    """
+    spatial = grid.shape[:-1]
+    dim = len(spatial)
+    offs = corner_offsets(dim)
+    n_cells = int(np.prod([s - 1 for s in spatial]))
+    n_tiles = -(-n_cells // tile)
+    rows = n_tiles * tile + (n_windows - 1) * tile
+    slabs = []
+    for o in offs:
+        idx = tuple(slice(int(o[d]), spatial[d] - 1 + int(o[d]))
+                    for d in range(dim))
+        slab = grid[idx].reshape(n_cells, grid.shape[-1])
+        slabs.append(jnp.pad(slab, ((0, rows - n_cells), (0, 0))))
+    return jnp.stack(slabs, axis=0), n_tiles
+
+
+def _corner_weight_cols(frac32, dim: int, n_corners: int):
+    """Per-corner multilinear weight columns [NB, 1] from fracs."""
+    offs_np = corner_offsets(dim)
+    cols = []
+    for kidx in range(n_corners):
+        col = None
+        for d in range(dim):
+            fd = frac32[:, d:d + 1]
+            term = fd if offs_np[kidx, d] else (1.0 - fd)
+            col = term if col is None else col * term
+        cols.append(col)
+    return cols
+
+
+def _kernel_gather(bt_ref, cell_ref, frac_ref, *refs, widths,
+                   n_corners: int, n_windows: int, tile: int,
+                   negative_slope: float, compute_dtype,
+                   activation: str = "leaky_relu"):
+    """Corner-major decode+blend with the corner gather IN-kernel.
+
+    The corner gather runs as an MXU matmul: one one-hot matrix
+    [NB, W*tile] built from the block's local cell ids (shared by all
+    corners — the corner offset is baked into the per-corner tables)
+    multiplies each corner's VMEM-resident window [W*tile, C]. Exact
+    in bf16 (rows select single table entries), and mosaic-friendly:
+    ``tpu.dynamic_gather`` is a single-vreg shuffle (measured, round 3)
+    so a real row gather is inexpressible — the MXU route costs a few
+    % of the MLP's FLOPs instead.
+
+    Chain rows are CORNER-major ([k*NB + p]) so the gathered per-corner
+    blocks concatenate along sublanes with no interleaving relayout;
+    the blend slices them back per corner (static sublane slices).
+    """
+    wins = refs[:n_corners * n_windows]
+    (wxf_ref, wxr_ref, cb_ref, wh1_ref, wh2_ref, wh3_ref, wh4_ref,
+     w5_ref, b5_ref, out_ref) = refs[n_corners * n_windows:]
+    offs = np.cumsum([0] + list(widths))
+    s_tot = int(offs[-1])
+    wt = n_windows * tile
+
+    from space_time_pde_tpu.models.nonlinearities import get_activation
+    act = get_activation(activation, negative_slope)
+
+    i = pl.program_id(0)
+    base = bt_ref[i]
+    nb = frac_ref.shape[0]
+    local = cell_ref[:] - base * tile                       # [NB, 1]
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (nb, wt), 1)
+    onehot = (lanes == local).astype(compute_dtype)         # [NB, WT]
+
+    fks = []
+    for k in range(n_corners):
+        win = jnp.concatenate(
+            [wins[k * n_windows + j][0] for j in range(n_windows)],
+            axis=0)                                         # [WT, C]
+        fks.append(jnp.dot(onehot, win.astype(compute_dtype),
+                           preferred_element_type=jnp.float32))
+    feats_cm = jnp.concatenate(fks, axis=0).astype(compute_dtype)
+
+    frac = frac_ref[:].astype(compute_dtype)                # [NB, dim]
+    # f32 assembly of the wide skip buffer, cast once at the end —
+    # measured FASTER than bf16 assembly (packed-bf16 VPU arithmetic
+    # costs relayouts in mosaic that outweigh the 2/lane packing).
+    xs_f = jnp.dot(feats_cm, wxf_ref[:],
+                   preferred_element_type=jnp.float32)      # [R, S]
+    xs_r = jnp.dot(frac, wxr_ref[:],
+                   preferred_element_type=jnp.float32)      # [NB, S]
+    cb = cb_ref[:]                                          # [K, S] f32
+    xs_rc = jnp.concatenate(
+        [xs_r + cb[k][None] for k in range(n_corners)], axis=0)
+    xs = (xs_f + xs_rc).astype(compute_dtype)               # [R, S]
+
+    h = act(xs[:, offs[0]:offs[1]].astype(jnp.float32))
+    for li, wh_ref in enumerate((wh1_ref, wh2_ref, wh3_ref, wh4_ref)):
+        pre = jnp.dot(h.astype(compute_dtype), wh_ref[:],
+                      preferred_element_type=jnp.float32)
+        h = act(pre + xs[:, offs[li + 1]:offs[li + 2]].astype(
+            jnp.float32))
+
+    dim = frac_ref.shape[-1]
+    frac32 = frac_ref[:].astype(jnp.float32)
+    cols = _corner_weight_cols(frac32, dim, n_corners)
+    nf = widths[-1]
+    hblend = None
+    for k in range(n_corners):
+        term = h[k * nb:(k + 1) * nb] * cols[k]             # [NB, nf]
+        hblend = term if hblend is None else hblend + term
+    out = jnp.dot(hblend.astype(compute_dtype), w5_ref[:],
+                  preferred_element_type=jnp.float32) + b5_ref[:]
+    out_ref[:] = out.astype(out_ref.dtype)
+
+
+def fused_decode_blend_gather(tables, cell_flat, frac,
+                              base_tile, packed, *, nf: int,
+                              n_corners: int, tile: int,
+                              n_windows: int = 1,
+                              negative_slope: float = 0.01,
+                              block_pts: int = 256,
+                              compute_dtype=jnp.bfloat16,
+                              pad_to: int = 0,
+                              interpret: bool = False,
+                              activation: str = "leaky_relu"
+                              ) -> jnp.ndarray:
+    """In-kernel-gather decode: tables [2^D, rows, C]
+    (``corner_tables``), cell_flat [N] int32 flat cell ids,
+    frac [N, dim], base_tile [G] int32 window anchors
+    (G = ceil(N/block_pts); all zeros in whole-table mode) -> [N, out].
+
+    Caller contract: every point in block g must satisfy
+    ``base_tile[g]*tile <= cell < (base_tile[g]+n_windows)*tile`` —
+    out-of-window points silently decode ZERO corner latents (the
+    one-hot has no matching lane). ``fused_query_local_implicit_grid``
+    enforces this with a sort + fits-check + fallback.
+    """
+    n = cell_flat.shape[0]
+    dim = frac.shape[-1]
+    nb = block_pts
+    n_pad = (-n) % nb
+    if n_pad:
+        cell_flat = jnp.pad(cell_flat, (0, n_pad))
+        frac = jnp.pad(frac, ((0, n_pad), (0, 0)))
+        base_tile = jnp.pad(base_tile, (0, (n + n_pad) // nb
+                                        - base_tile.shape[0]))
+    n_tot = n + n_pad
+    g = n_tot // nb
+    out_dim = packed["w5"].shape[1]
+    c = tables.shape[-1]
+
+    param_names = ["wx_feat", "wx_rel", "corner_bias", "wh1", "wh2",
+                   "wh3", "wh4", "w5", "b5"]
+    param_vals = [packed[p] for p in param_names]
+    param_specs = [
+        pl.BlockSpec(p.shape, lambda i, bt, nd=p.ndim: (0,) * nd)
+        for p in param_vals
+    ]
+    win_specs = [
+        pl.BlockSpec((1, tile, c),
+                     functools.partial(
+                         lambda i, bt, k=k, j=j: (k, bt[i] + j, 0)))
+        for k in range(n_corners) for j in range(n_windows)
+    ]
+
+    kernel = functools.partial(
+        _kernel_gather, widths=tuple(_padded_widths(nf, pad_to)),
+        n_corners=n_corners, n_windows=n_windows, tile=tile,
+        negative_slope=negative_slope, compute_dtype=compute_dtype,
+        activation=activation)
+
+    compiler_params = None
+    if not interpret:
+        compiler_params = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2 ** 20)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec((nb, 1), lambda i, bt: (i, 0)),
+            pl.BlockSpec((nb, dim), lambda i, bt: (i, 0)),
+            *win_specs,
+            *param_specs,
+        ],
+        out_specs=pl.BlockSpec((nb, out_dim), lambda i, bt: (i, 0)),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_tot, out_dim), jnp.float32),
+        interpret=interpret,
+        compiler_params=compiler_params,
+    )(base_tile, cell_flat[:, None], frac,
+      *([tables] * (n_corners * n_windows)), *param_vals)
+    return out[:n]
 
 
 def _kernel(feats_ref, frac_ref, wxf_ref, wxr_ref, cb_ref, wh1_ref,
@@ -277,43 +481,142 @@ def fused_decode_blend(feats2, frac, packed, *, nf: int, n_corners: int,
     return out[:n]
 
 
+def _flat_cells(cell, spatial):
+    dim = len(spatial)
+    cells_shape = [s - 1 for s in spatial]
+    strides = np.ones(dim, dtype=np.int32)
+    for a in range(dim - 2, -1, -1):
+        strides[a] = strides[a + 1] * cells_shape[a + 1]
+    return jnp.sum(cell * jnp.asarray(strides), axis=-1)
+
+
+# In-kernel gather dispatch thresholds (measured on 1x v5e, round 3):
+# a whole-table one-hot matmul costs n_cells*2^D*C MACs/point — equal
+# to the nf=32 MLP itself at ~6.4k cells — so small grids gather
+# against the resident table with no sort, large grids sort + window.
+_WHOLE_TABLE_CELLS = 2048
+_WINDOW_TILE = 128
+_N_WINDOWS = 2
+
+
 def fused_query_local_implicit_grid(imnet, params, latent_grid, pts,
                                     xmin=0.0, xmax=1.0,
                                     block_pts: int = 256,
                                     compute_dtype=jnp.bfloat16,
                                     pad_to: int = 128,
-                                    interpret: bool = False):
+                                    interpret: bool = False,
+                                    gather: str = "auto",
+                                    points_sorted: bool = False):
     """Drop-in fused version of models.query_local_implicit_grid.
 
     imnet: the ImNet module (for static dims); params: its flax params.
     latent_grid: [B, *spatial, C]; pts: [B, N, D] -> [B, N, out].
+
+    ``gather`` selects the corner-latent path:
+      - "pregather": XLA materializes [N, 2^D*C] corner rows in HBM
+        (the round-1/2 path; always correct, any point distribution);
+      - "kernel": the gather runs inside the Pallas kernel as a one-hot
+        MXU matmul against VMEM-resident cell tables — whole-table for
+        small grids, sorted 2x128-cell windows for large ones (with a
+        runtime fits-check falling back to "pregather" via lax.cond);
+      - "auto": "kernel" (its fallback keeps it always-correct).
+    ``points_sorted``: promise that each consecutive ``block_pts`` run
+    of points spans < 256 cells in flat cell order (dense-lattice
+    chunks do) — skips the sort, keeps the fits-guard.
     """
     packed = pack_imnet_params(
         params, imnet.dim, imnet.in_features, imnet.nf,
         dtype=compute_dtype, pad_to=pad_to)
+    activation = getattr(imnet, "activation", "leaky_relu")
 
-    def single(grid, p):
-        spatial = grid.shape[:-1]
-        dim = p.shape[-1]
+    def pregather(grid, cell_flat, frac):
         c = grid.shape[-1]
-        n = p.shape[0]
-        k = 2 ** dim
-
+        n = cell_flat.shape[0]
+        k = 2 ** (grid.ndim - 1)
         cell_feats = cell_major_features(grid.astype(compute_dtype))
-        cell, frac = _locate(p, spatial, xmin, xmax)
-        cells_shape = [s - 1 for s in spatial]
-        strides = np.ones(dim, dtype=np.int32)
-        for a in range(dim - 2, -1, -1):
-            strides[a] = strides[a + 1] * cells_shape[a + 1]
-        cell_flat = jnp.sum(cell * jnp.asarray(strides), axis=-1)   # [N]
         rows = jnp.take(cell_feats, cell_flat, axis=0)      # [N, K*C]
         feats2 = rows.reshape(n * k, c)                     # free view
-
         return fused_decode_blend(
             feats2, frac, packed, nf=imnet.nf, n_corners=k,
             negative_slope=imnet.negative_slope,
             block_pts=block_pts, compute_dtype=compute_dtype,
-            pad_to=pad_to, interpret=interpret,
-            activation=getattr(imnet, "activation", "leaky_relu"))
+            pad_to=pad_to, interpret=interpret, activation=activation)
 
-    return jax.vmap(single)(latent_grid, pts)
+    def kernel_gather(grid, cell_flat, frac):
+        dim = grid.ndim - 1
+        k = 2 ** dim
+        n = cell_flat.shape[0]
+        n_cells = int(np.prod([s - 1 for s in grid.shape[:-1]]))
+        common = dict(nf=imnet.nf, n_corners=k,
+                      negative_slope=imnet.negative_slope,
+                      block_pts=block_pts, compute_dtype=compute_dtype,
+                      pad_to=pad_to, interpret=interpret,
+                      activation=activation)
+        gcast = grid.astype(compute_dtype)
+        n_pad = (-n) % block_pts
+        g = (n + n_pad) // block_pts
+        if n_cells <= _WHOLE_TABLE_CELLS:
+            rows = -(-n_cells // 8) * 8      # sublane-align the table
+            tables, _ = corner_tables(gcast, rows, 1)
+            base = jnp.zeros((g,), jnp.int32)
+            return fused_decode_blend_gather(
+                tables, cell_flat, frac, base, packed,
+                tile=rows, n_windows=1, **common)
+        tile, w = _WINDOW_TILE, _N_WINDOWS
+        tables, _ = corner_tables(gcast, tile, w)
+        dim = frac.shape[-1]
+        if points_sorted:
+            sc, frac_s, order = cell_flat, frac, None
+        else:
+            # Multi-operand bitonic sort carries frac columns through
+            # the sort network — measured ~2x cheaper than random-index
+            # jnp.take of the [N, dim] rows afterwards (structured
+            # compare-swaps vs 12-byte random gathers).
+            sc, order, *fcols = jax.lax.sort(
+                (cell_flat, jnp.arange(n, dtype=jnp.int32),
+                 *[frac[:, d] for d in range(dim)]), num_keys=1)
+            frac_s = jnp.stack(fcols, axis=-1)
+        # Edge-pad so the final partial block's fits-check sees its
+        # true max cell (zero-padding would understate the span).
+        scp = jnp.pad(sc, (0, n_pad), mode="edge") if n_pad else sc
+        base = scp[::block_pts] // tile                     # [G]
+        last = scp[block_pts - 1::block_pts]
+        fits = jnp.max(last - base * tile) < w * tile
+
+        # The cond wraps ONLY the decode; both branches consume the
+        # SORTED inputs and emit sorted outputs, so the (shared) unsort
+        # sits outside and the cond's fusion barrier stays narrow.
+        out_s = jax.lax.cond(
+            fits,
+            lambda _: fused_decode_blend_gather(
+                tables, sc, frac_s, base, packed,
+                tile=tile, n_windows=w, **common),
+            lambda _: pregather(grid, sc, frac_s),
+            operand=None)
+        if order is None:
+            return out_s
+        # Unsort by sorting on the original positions (a second
+        # multi-operand sort — cheaper than inv-argsort + take).
+        out_dim = out_s.shape[-1]
+        _, *ocols = jax.lax.sort(
+            (order, *[out_s[:, d] for d in range(out_dim)]),
+            num_keys=1)
+        return jnp.stack(ocols, axis=-1)
+
+    def single(grid, p):
+        spatial = grid.shape[:-1]
+        cell, frac = _locate(p, spatial, xmin, xmax)
+        cell_flat = _flat_cells(cell, spatial)
+        if gather == "pregather":
+            return pregather(grid, cell_flat, frac)
+        return kernel_gather(grid, cell_flat, frac)
+
+    if gather == "pregather":
+        return jax.vmap(single)(latent_grid, pts)
+    # Static python loop over batch: the large-grid path branches on a
+    # runtime fits-check with lax.cond, and vmap-of-cond would execute
+    # BOTH branches per element; callers here (bench, evaluation,
+    # tests) run B=1..8, so an unrolled loop costs nothing.
+    outs = [single(latent_grid[b], pts[b])
+            for b in range(latent_grid.shape[0])]
+    return jnp.stack(outs, axis=0)
