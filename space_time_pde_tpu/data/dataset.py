@@ -128,19 +128,38 @@ class RB2DataLoader:
             raise ValueError(f"lres_filter must be one of {FILTERS}")
         if lres_interp not in ("linear", "nearest"):
             raise ValueError("lres_interp must be 'linear' or 'nearest'")
-        path = os.path.join(data_folder, data_filename)
-        with np.load(path) as npz:
-            self.data = np.stack(
-                [np.asarray(npz[c], np.float32) for c in CHANNELS], axis=-1
-            )  # [T, Z, X, 4]
-            self.dt_phys = float(npz["dt"]) if "dt" in npz else 1.0
-            self.dz_phys = float(npz["dz"]) if "dz" in npz else 1.0
-            self.dx_phys = float(npz["dx"]) if "dx" in npz else 1.0
+        # Comma-separated filenames concatenate multiple simulations
+        # along the time axis; ``valid_t0`` below keeps crops from
+        # straddling a file boundary (reference: single-file
+        # ``RB2DataLoader``; multi-simulation training is our data-axis
+        # extension).
+        names = [s.strip() for s in data_filename.split(",") if s.strip()]
+        parts, t_lens = [], []
+        for name in names:
+            path = os.path.join(data_folder, name)
+            with np.load(path) as npz:
+                parts.append(np.stack(
+                    [np.asarray(npz[c], np.float32) for c in CHANNELS],
+                    axis=-1))  # [T, Z, X, 4]
+                self.dt_phys = float(npz["dt"]) if "dt" in npz else 1.0
+                self.dz_phys = float(npz["dz"]) if "dz" in npz else 1.0
+                self.dx_phys = float(npz["dx"]) if "dx" in npz else 1.0
+        self.data = (parts[0] if len(parts) == 1
+                     else np.concatenate(parts, axis=0))
+        t_lens = [p.shape[0] for p in parts]
+        del parts
 
         T, Z, X, _ = self.data.shape
-        if nt > T or nz > Z or nx > X:
+        if nt > min(t_lens) or nz > Z or nx > X:
             raise ValueError(
                 f"crop ({nt},{nz},{nx}) larger than data ({T},{Z},{X})")
+        # Global-frame t0 values whose [t0, t0+nt) window stays inside
+        # one source file.
+        starts, off = [], 0
+        for tl in t_lens:
+            starts.append(np.arange(off, off + tl - nt + 1))
+            off += tl
+        self.valid_t0 = np.concatenate(starts).astype(np.int64)
         self.nt, self.nz, self.nx = nt, nz, nx
         self.n_samp_pts_per_crop = n_samp_pts_per_crop
         self.downsamp_t, self.downsamp_xz = downsamp_t, downsamp_xz
@@ -162,7 +181,9 @@ class RB2DataLoader:
             self.channel_mean = np.zeros_like(self.channel_mean)
             self.channel_std = np.ones_like(self.channel_std)
 
-        self._origins = (T - nt + 1, Z - nz + 1, X - nx + 1)
+        # _origins[0] counts VALID t0 values (an index into valid_t0,
+        # not a raw frame number — identical for single-file data).
+        self._origins = (len(self.valid_t0), Z - nz + 1, X - nx + 1)
 
     # ------------------------------------------------------------------
 
@@ -232,7 +253,7 @@ class RB2DataLoader:
         o = self._origins
         t0, rem = divmod(idx, o[1] * o[2])
         z0, x0 = divmod(rem, o[2])
-        return self.sample_crop(t0, z0, x0,
+        return self.sample_crop(int(self.valid_t0[t0]), z0, x0,
                                 rng or np.random.RandomState(idx))
 
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
@@ -280,7 +301,7 @@ class RB2DataLoader:
         round-1 per-item scipy loop was the training-loop floor).
         """
         o = self._origins
-        t0 = rng.randint(o[0], size=batch_size)
+        t0 = self.valid_t0[rng.randint(o[0], size=batch_size)]
         z0 = rng.randint(o[1], size=batch_size)
         x0 = rng.randint(o[2], size=batch_size)
         pts = rng.rand(batch_size, self.n_samp_pts_per_crop, 3

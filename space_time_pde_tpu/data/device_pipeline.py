@@ -79,6 +79,10 @@ class DeviceSampler:
         self.lres_interp = getattr(ds, "lres_interp", "linear")
         self.velonly = getattr(ds, "velonly", False)
         self._origins = ds._origins
+        # Multi-file datasets expose valid_t0: the set of global frame
+        # origins whose crop window stays within one source simulation.
+        self._valid_t0 = np.asarray(getattr(
+            ds, "valid_t0", np.arange(ds._origins[0])), np.int32)
         self.n_samp_pts = ds.n_samp_pts_per_crop
         # Static [L, D] endpoint-aligned lattice in crop coordinates.
         axes = [np.linspace(0.0, 1.0, n) for n in self.lres_sizes]
@@ -106,6 +110,7 @@ class DeviceSampler:
         o = self._origins
         origins = np.stack([rng.randint(o[i], size=batch_size)
                             for i in range(self.dim)], -1).astype(np.int32)
+        origins[:, 0] = self._valid_t0[origins[:, 0]]
         pts = rng.rand(batch_size, self.n_samp_pts,
                        self.dim).astype(np.float32)
         return origins, pts

@@ -192,3 +192,49 @@ def test_vectorized_batch_velonly_and_hres(tg_npz):
     batch = ds.sample_batch(np.random.RandomState(0), 2)
     assert batch["point_value"].shape == (2, 8, 2)
     assert batch["hres"].shape == (2, 4, 8, 8, 4)
+
+
+def test_multifile_dataset_concat_and_no_straddle(tmp_path):
+    """Comma-separated data files concatenate along T; crop origins
+    never straddle a file boundary (our multi-simulation data-axis
+    extension of the reference's single-file RB2DataLoader)."""
+    from space_time_pde_tpu.data import save_npz, taylor_green_fields
+
+    fa = taylor_green_fields(nt=10, nz=16, nx=16, dt=0.05)
+    fb = taylor_green_fields(nt=12, nz=16, nx=16, dt=0.05, viscosity=2e-2)
+    save_npz(str(tmp_path / "a.npz"), fa)
+    save_npz(str(tmp_path / "b.npz"), fb)
+
+    nt = 6
+    ds = RB2DataLoader(
+        data_folder=str(tmp_path), data_filename="a.npz, b.npz",
+        nt=nt, nz=16, nx=16, n_samp_pts_per_crop=8,
+        downsamp_t=2, downsamp_xz=4)
+    assert ds.data.shape[0] == 22
+    # valid t0: [0..4] (file a) and [10..16] (file b) — nothing in
+    # [5..9], which would straddle the boundary at frame 10.
+    expect = np.concatenate([np.arange(0, 5), np.arange(10, 17)])
+    np.testing.assert_array_equal(ds.valid_t0, expect)
+    assert ds._origins[0] == len(expect)
+
+    # Every sampled batch origin is a valid (non-straddling) t0.
+    rng = np.random.RandomState(0)
+    t0 = ds.valid_t0[rng.randint(ds._origins[0], size=256)]
+    assert np.isin(t0, expect).all()
+
+    # get_item at a t0-index in the second file reads file-b data.
+    item = ds.get_item((5 + 2) * ds._origins[1] * ds._origins[2])
+    assert item["lres"].shape == (3, 4, 4, 4)
+
+    # DeviceSampler draw maps through valid_t0 too.
+    from space_time_pde_tpu.data.device_pipeline import DeviceSampler
+    samp = DeviceSampler(ds)
+    origins, pts = samp.draw(np.random.RandomState(1), 64)
+    assert np.isin(origins[:, 0], expect).all()
+
+    # Single-file behavior is unchanged.
+    ds1 = RB2DataLoader(
+        data_folder=str(tmp_path), data_filename="a.npz",
+        nt=nt, nz=16, nx=16, n_samp_pts_per_crop=8,
+        downsamp_t=2, downsamp_xz=4)
+    np.testing.assert_array_equal(ds1.valid_t0, np.arange(5))
