@@ -80,6 +80,11 @@ def add_turb3d_args(parser: argparse.ArgumentParser) -> None:
       default=False, metavar="BOOL")
     p("--device_data", type=lambda s: s.lower() in ("1", "true", "yes"),
       default=True, metavar="BOOL")
+    p("--space_devices", type=int, default=1,
+      help="shard the 4-D latent grid along x over this many mesh "
+           "devices (replicated UNet4d encoder; the remaining devices "
+           "form the data axis). BASELINE.json config #5: sharded "
+           "latent grid + query binning, now for the 4-D stack.")
 
 
 def build_turb3d_models(args, lres_shape):
@@ -160,24 +165,45 @@ def main():
     ) if args.alpha_pde > 0 else None
 
     cfg = make_config(args)
-    batch_per_step = args.batch_size_per_gpu
+    n_space = max(1, args.space_devices)
+    ndev = jax.local_device_count() if n_space > 1 else 1
+    n_data = max(1, ndev // n_space)
+    batch_per_step = args.batch_size_per_gpu * n_data
     steps_per_epoch = max(1, args.pseudo_epoch_size // batch_per_step)
     tx = make_optimizer(cfg, steps_per_epoch)
     state = init_state4d(jax.random.PRNGKey(args.seed), args, unet,
                          imnet, tx, ds.lres_shape)
     loss_fn = make_loss_fn(cfg, unet, imnet, pde_layer)
 
-    sampler = None
-    if args.device_data and DeviceSampler.supported(ds):
-        sampler = DeviceSampler(ds)
-        loss_fn = sampler.wrap_loss(loss_fn)
-        print("device-data pipeline active (4-D)")
-
     inner = max(1, args.inner_steps)
-    if inner > 1:
-        step_fn = make_multi_step(loss_fn, tx, inner)
+    sampler = None
+    place_fn = sp_batch = None
+    if n_space > 1:
+        # dp x space 2-D mesh: latent grid sharded along x with a
+        # ppermute halo, points binned per shard (dimension-agnostic
+        # make_dp_sp_batch — the 4-D wiring of BASELINE config #5).
+        if n_data * n_space != ndev:
+            raise SystemExit(f"--space_devices {n_space} must divide "
+                             f"device count {ndev}")
+        from space_time_pde_tpu.parallel.dp_sp import (
+            make_dp_sp_batch, make_dp_sp_train_step,
+        )
+        step_fn, mesh, place_fn = make_dp_sp_train_step(
+            cfg, unet, imnet, pde_layer, tx, n_data, n_space,
+            n_inner=inner)
+        x_nodes = ds.lres_shape[-1]
+        sp_batch = lambda b: make_dp_sp_batch(b, n_space, x_nodes)
+        print(f"dp x space mesh: data={n_data}, space={n_space} (4-D "
+              "sharded latent + binned queries)")
     else:
-        step_fn = make_train_step(loss_fn, tx)
+        if args.device_data and DeviceSampler.supported(ds):
+            sampler = DeviceSampler(ds)
+            loss_fn = sampler.wrap_loss(loss_fn)
+            print("device-data pipeline active (4-D)")
+        if inner > 1:
+            step_fn = make_multi_step(loss_fn, tx, inner)
+        else:
+            step_fn = make_train_step(loss_fn, tx)
     # The jnp 16-corner query SEGFAULTS this environment's XLA:TPU
     # compiler (bisected: UNet4d and the fused 4-D kernels compile
     # fine; the gather/blend program does not). On TPU, eval goes
@@ -211,7 +237,16 @@ def main():
     eval_batch = {k: jnp.asarray(v) for k, v in
                   eval_ds.sample_batch(eval_rng, batch_per_step).items()}
 
-    if sampler is not None:
+    if sp_batch is not None and inner > 1:
+        from space_time_pde_tpu.parallel.dp_sp import stack_dp_sp_batches
+
+        def _make():
+            return stack_dp_sp_batches(
+                [sp_batch(ds.sample_batch(rng, batch_per_step))
+                 for _ in range(inner)])
+    elif sp_batch is not None:
+        _make = lambda: sp_batch(ds.sample_batch(rng, batch_per_step))
+    elif sampler is not None:
         if inner > 1:
             def _make():
                 os_, ps_ = zip(*[sampler.draw(rng, batch_per_step)
@@ -241,6 +276,8 @@ def main():
                 # sampler.refresh() without recompiling (see rb2d).
                 batch["_const_field" if inner > 1 else "field"] = \
                     sampler.data
+            if place_fn is not None:
+                state, batch = place_fn(state, batch)
             state, metrics = step_fn(state, batch)
         jax.block_until_ready(state.params)
         metrics = {k: float(v) for k, v in metrics.items()}

@@ -44,9 +44,12 @@ def make_dp_sp_batch(batch: Dict[str, np.ndarray], n_space: int,
                      ) -> Dict[str, np.ndarray]:
     """Bin each sample's points by x-shard; pad ragged bins + mask.
 
-    In: point_coord [B, N, 3], point_value [B, N, V], lres [B, ...].
-    Out: point_coord [B, S, M, 3], point_value [B, S, M, V],
-    point_mask [B, S, M]; lres unchanged.
+    In: point_coord [B, N, D], point_value [B, N, V], lres [B, ...].
+    Out: point_coord [B, S, M, D], point_value [B, S, M, V],
+    point_mask [B, S, M]; lres unchanged. Dimension-agnostic: points
+    bin along their LAST coordinate (the x axis of (t, z, x) 3-D crops
+    and of (t, z, y, x) 4-D crops alike), matching halo.py's default
+    ``spatial_axis=-2`` grid sharding.
 
     Fully vectorized over (batch, points) — this runs per step on the
     host, so no Python per-sample/per-shard loops. ``m_round`` rounds
@@ -61,7 +64,7 @@ def make_dp_sp_batch(batch: Dict[str, np.ndarray], n_space: int,
     n_loc = n_nodes_x // n_space
     span = 1.0 / (n_nodes_x - 1)
 
-    x = coords[..., 2]
+    x = coords[..., -1]
     cellf = np.clip(x / span, 0, n_nodes_x - 1 - 1e-6)
     shard = np.clip((cellf // n_loc).astype(np.int64), 0,
                     n_space - 1)                               # [B, N]
@@ -80,7 +83,7 @@ def make_dp_sp_batch(batch: Dict[str, np.ndarray], n_space: int,
     bidx = np.broadcast_to(np.arange(b)[:, None], (b, n))
 
     pad_coord = np.zeros((n_space, d), coords.dtype)
-    pad_coord[:, 2] = np.arange(n_space) * n_loc * span
+    pad_coord[:, -1] = np.arange(n_space) * n_loc * span
     binned = np.broadcast_to(
         pad_coord[None, :, None, :], (b, n_space, m, d)).copy()
     vals = np.zeros((b, n_space, m, values.shape[-1]), values.dtype)
@@ -178,16 +181,17 @@ def make_dp_sp_train_step(cfg, unet, imnet, pde_layer,
                 # Halo-conv encoder: lres arrives x-sharded; its output
                 # IS the latent shard.
                 latent_shard = unet.apply({"params": params["unet"]}, lres)
-                x_nodes = latent_shard.shape[3] * n_space
+                x_nodes = latent_shard.shape[-2] * n_space
             else:
                 # Replicated encoder: every space-rank encodes the full
-                # grid and slices its shard.
+                # grid and slices its shard along the LAST spatial axis
+                # (axis -2 of [b, *spatial, C] — 3-D and 4-D alike).
                 latent = unet.apply({"params": params["unet"]}, lres)
-                x_nodes = latent.shape[3]
+                x_nodes = latent.shape[-2]
                 n_loc = x_nodes // n_space
                 s = jax.lax.axis_index("space")
                 latent_shard = jax.lax.dynamic_slice_in_dim(
-                    latent, s * n_loc, n_loc, axis=3)
+                    latent, s * n_loc, n_loc, axis=latent.ndim - 2)
             decoder = lambda v: imnet.apply({"params": params["imnet"]}, v)
             fwd = lambda pts: sharded_query_local_implicit_grid(
                 decoder, latent_shard, pts, "space", x_nodes)

@@ -180,3 +180,65 @@ def test_dp_sp_step_with_pde_loss(setup):
     assert np.isfinite(float(metrics["loss"]))
     assert np.isfinite(float(metrics["pde_loss"]))
     state, _ = step(state, placed)
+
+
+def test_dp_sp_4d_shard_count_invariance(tmp_path):
+    """4-D (config #5): the dp x sp step on a space=2 mesh matches the
+    space=1 mesh on the same points — sharded latent + binned queries
+    are invariant to the shard count, reg AND ns3d pde losses."""
+    from space_time_pde_tpu.data import (
+        Field4DDataset, abc_flow_fields, save_npz,
+    )
+    from space_time_pde_tpu.models import ImNet, UNet4d
+    from space_time_pde_tpu.parallel.dp_sp import stack_dp_sp_batches
+    from space_time_pde_tpu.physics.systems import get_ns3d_pde_layer
+    from space_time_pde_tpu.train.trainer import TrainState
+
+    save_npz(str(tmp_path / "abc.npz"),
+             abc_flow_fields(nt=10, nz=8, ny=8, nx=16, viscosity=0.05))
+    ds = Field4DDataset(
+        data_folder=str(tmp_path), data_filename="abc.npz",
+        nt=8, nz=8, ny=8, nx=16, n_samp_pts_per_crop=48,
+        downsamp_t=2, downsamp_xyz=2)          # lres (4, 4, 4, 8)
+    unet = UNet4d(in_features=4, out_features=4, igres=ds.lres_shape,
+                  nf=4)
+    imnet = ImNet(dim=4, in_features=4, out_features=4, nf=1)
+    et, ez, ey, ex = ds.coord_extents
+    pde = get_ns3d_pde_layer(ds.channel_mean, ds.channel_std,
+                             et, ez, ey, ex, viscosity=0.05)
+    cfg = Config()
+    cfg.train.alpha_pde = 0.05
+    cfg.train.reg_loss_type = "l2"
+    tx = optax.sgd(1e-2)
+
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    params = {
+        "unet": unet.init(k1, jnp.zeros((1, *ds.lres_shape, 4)))["params"],
+        "imnet": imnet.init(k2, jnp.zeros((1, 8)))["params"],
+    }
+
+    def fresh():
+        return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                          opt_state=tx.init(params), key=k3)
+
+    batch = ds.sample_batch(np.random.RandomState(3), 4)
+    x_nodes = ds.lres_shape[-1]                # 8
+    results = {}
+    for n_space in (1, 2):
+        step, mesh, place = make_dp_sp_train_step(
+            cfg, unet, imnet, pde, tx, n_data=4, n_space=n_space)
+        sb = make_dp_sp_batch(batch, n_space, x_nodes)
+        st, placed = place(fresh(), {k: jnp.asarray(v)
+                                     for k, v in sb.items()})
+        st, m = step(st, placed)
+        results[n_space] = (st, m)
+
+    m1, m2 = results[1][1], results[2][1]
+    np.testing.assert_allclose(float(m2["loss"]), float(m1["loss"]),
+                               rtol=1e-4)
+    np.testing.assert_allclose(float(m2["pde_loss"]),
+                               float(m1["pde_loss"]), rtol=1e-4)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-6),
+        results[2][0].params, results[1][0].params)
