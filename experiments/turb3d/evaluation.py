@@ -80,6 +80,16 @@ def main():
     parser.add_argument("--data_folder", type=str, default=None)
     parser.add_argument("--eval_data", type=str, default=None)
     parser.add_argument("--eval_t0", type=int, default=0)
+    parser.add_argument(
+        "--eval_windows", type=int, default=1,
+        help="evaluate N windows evenly spaced through the data "
+             "(reported rel-L2 is their mean; npz comes from the first)")
+    parser.add_argument(
+        "--split", choices=["custom", "val", "test"], default="custom",
+        help="named split protocol (data/splits.py): 'val'/'test' pick "
+             "the canonical Beltrami-realization file beltrami_s{7,123}"
+             ".npz (unless --eval_data is given) and that split's "
+             "deterministic windows; 'custom' keeps --eval_t0 behavior")
     parser.add_argument("--save_path", type=str, default="turb3d_pred.npz")
     parser.add_argument("--query_chunk", type=int, default=32768)
     args = parser.parse_args()
@@ -97,9 +107,14 @@ def main():
         setattr(a, k, float(v) if k == "viscosity" else int(v))
     a.use_bf16 = cfg.model.use_bf16
 
+    eval_data = args.eval_data or cfg.data.eval_data
+    if args.split != "custom" and args.eval_data is None:
+        from space_time_pde_tpu.data.splits import CANONICAL_SEEDS
+        eval_data = f"beltrami_s{CANONICAL_SEEDS[args.split]}.npz"
+        print(f"split={args.split}: evaluating {eval_data}")
     ds = Field4DDataset(
         data_folder=args.data_folder or cfg.data.data_folder,
-        data_filename=args.eval_data or cfg.data.eval_data,
+        data_filename=eval_data,
         nt=a.nt, nz=a.nz, ny=a.ny, nx=a.nx,
         downsamp_t=a.downsamp_t, downsamp_xyz=a.downsamp_xyz)
     ds.channel_mean = np.asarray(extra["channel_mean"], np.float32)
@@ -112,49 +127,71 @@ def main():
     state, _ = mngr.restore(template)
     print(f"restored step {int(state.step)}")
 
-    # Low-res window spanning the full spatial extent (crop-sized time).
-    t0 = args.eval_t0
-    window = ds.data[t0:t0 + a.nt]                # [nt, Z, Y, X, 4]
-    hi_shape = window.shape[:4]
+    # Window start frames: deterministic split grid or --eval_t0.
+    n_frames = ds.data.shape[0]
+    if args.split != "custom":
+        from space_time_pde_tpu.data.splits import test_windows, \
+            val_windows
+        pick = val_windows if args.split == "val" else test_windows
+        t0s = pick(n_frames, a.nt, max(1, args.eval_windows))
+    elif args.eval_windows > 1:
+        t0s = np.unique(np.linspace(
+            args.eval_t0, n_frames - a.nt,
+            args.eval_windows).astype(int))
+    else:
+        t0s = np.asarray([args.eval_t0])
+
+    hi_shape = ds.data[:a.nt].shape[:4]
     lres_sizes = (max(2, a.nt // a.downsamp_t),
                   max(2, hi_shape[1] // a.downsamp_xyz),
                   max(2, hi_shape[2] // a.downsamp_xyz),
                   max(2, hi_shape[3] // a.downsamp_xyz))
-    axes = [np.linspace(0, s - 1, l)
-            for s, l in zip(hi_shape, lres_sizes)]
-    from scipy.interpolate import RegularGridInterpolator
-    interp = RegularGridInterpolator(
-        [np.arange(s) for s in hi_shape], window)
-    mesh = np.meshgrid(*axes, indexing="ij")
-    lres = interp(np.stack(mesh, -1).reshape(-1, 4)).reshape(
-        *lres_sizes, -1).astype(np.float32)
-    lres = (lres - ds.channel_mean) / ds.channel_std
-
     # Rebuild the encoder for this window's lres shape if it differs
     # from the training crop (igres is a static UNet4d attribute).
     if tuple(lres_sizes) != tuple(ds.lres_shape):
         unet = UNet4d(in_features=4, out_features=a.lat_dims,
                       igres=tuple(lres_sizes), nf=a.unet_nf,
                       mf=a.unet_mf)
+    from scipy.interpolate import RegularGridInterpolator
+    axes = [np.linspace(0, s - 1, l)
+            for s, l in zip(hi_shape, lres_sizes)]
+    lat_pts = np.stack(np.meshgrid(*axes, indexing="ij"),
+                       -1).reshape(-1, 4)
 
-    pred_n = dense_query4d(unet, imnet, state.params,
-                           jnp.asarray(lres), hi_shape,
-                           chunk=args.query_chunk)
-    pred = pred_n * ds.channel_std + ds.channel_mean
-    gt = window
-    rel = float(np.linalg.norm(pred - gt) / (np.linalg.norm(gt) + 1e-12))
-    per_ch = [float(np.linalg.norm(pred[..., c] - gt[..., c]) /
-                    (np.linalg.norm(gt[..., c]) + 1e-12))
-              for c in range(4)]
-    print(f"rel_l2 = {rel:.5f}  per-channel (p,u,v,w) = "
+    rels, per_chs, first_pred = [], [], None
+    for t0 in t0s:
+        window = ds.data[t0:t0 + a.nt]            # [nt, Z, Y, X, 4]
+        interp = RegularGridInterpolator(
+            [np.arange(s) for s in hi_shape], window)
+        lres = interp(lat_pts).reshape(*lres_sizes, -1).astype(np.float32)
+        lres = (lres - ds.channel_mean) / ds.channel_std
+        pred_n = dense_query4d(unet, imnet, state.params,
+                               jnp.asarray(lres), hi_shape,
+                               chunk=args.query_chunk)
+        pred = pred_n * ds.channel_std + ds.channel_mean
+        gt = window
+        rel = float(np.linalg.norm(pred - gt) /
+                    (np.linalg.norm(gt) + 1e-12))
+        per_chs.append([float(np.linalg.norm(pred[..., c] - gt[..., c]) /
+                              (np.linalg.norm(gt[..., c]) + 1e-12))
+                        for c in range(4)])
+        rels.append(rel)
+        if first_pred is None:
+            first_pred = pred
+        print(f"window t0={t0}: rel_l2 = {rel:.5f}", flush=True)
+    rel = float(np.mean(rels))
+    per_ch = np.mean(per_chs, axis=0)
+    print(f"rel_l2 = {rel:.5f} (std {np.std(rels):.5f} over {len(t0s)} "
+          "windows)  per-channel (p,u,v,w) = "
           + " ".join(f"{v:.5f}" for v in per_ch))
 
     os.makedirs(os.path.dirname(os.path.abspath(args.save_path)),
                 exist_ok=True)
     np.savez_compressed(
-        args.save_path, p=pred[..., 0], u=pred[..., 1],
-        v=pred[..., 2], w=pred[..., 3], rel_l2=rel,
-        rel_l2_per_channel=np.asarray(per_ch))
+        args.save_path, p=first_pred[..., 0], u=first_pred[..., 1],
+        v=first_pred[..., 2], w=first_pred[..., 3], rel_l2=rel,
+        rel_l2_per_channel=np.asarray(per_ch),
+        window_starts=np.asarray(t0s))
     print(f"saved predictions to {args.save_path}")
     mngr.close()
 

@@ -38,13 +38,30 @@ def main():
     parser.add_argument("--abc", type=float, nargs=3,
                         default=(1.0, 0.7, 0.3),
                         help="A B C coefficients of the ABC flow")
+    parser.add_argument(
+        "--seed", type=int, default=None,
+        help="random same-statistics Beltrami realization: amplitudes "
+             "on the fixed-energy sphere + random phases (overrides "
+             "--abc). Independent seeds are fully decorrelated exact "
+             "NS solutions — the turb3d train/val/test protocol uses "
+             "seeds 42/7/123 (data/splits.py::CANONICAL_SEEDS)")
     parser.add_argument("--out", type=str, default="abc_flow.npz")
     args = parser.parse_args()
 
-    a, b, c = args.abc
+    if args.seed is not None:
+        from space_time_pde_tpu.data.generator import (
+            beltrami_realization_params,
+        )
+        a, b, c, phases = beltrami_realization_params(args.seed)
+        print(f"beltrami realization seed {args.seed}: "
+              f"A={a:.3f} B={b:.3f} C={c:.3f} phases="
+              + str([round(p, 3) for p in phases]))
+    else:
+        (a, b, c), phases = args.abc, (0.0, 0.0, 0.0)
     fields = abc_flow_fields(
         nt=args.nt, nz=args.nz, ny=args.ny, nx=args.nx,
-        viscosity=args.viscosity, dt=args.dt, A=a, B=b, C=c)
+        viscosity=args.viscosity, dt=args.dt, A=a, B=b, C=c,
+        phases=phases)
     os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
     save_npz(args.out, fields)
     sizes = {k: v.shape for k, v in fields.items() if np.ndim(v) > 0}

@@ -44,18 +44,34 @@ class Field4DDataset:
         normalize_output: bool = True,
         return_hres: bool = False,
     ):
-        path = os.path.join(data_folder, data_filename)
-        with np.load(path) as npz:
-            self.data = np.stack(
-                [np.asarray(npz[c], np.float32) for c in channels],
-                axis=-1)                                # [T, Z, Y, X, C]
-            self.spacings = tuple(
-                float(npz[k]) if k in npz else 1.0
-                for k in ("dt", "dz", "dy", "dx"))
+        # Comma-separated filenames concatenate multiple realizations
+        # along the time axis; ``valid_t0`` keeps crops from straddling
+        # a file boundary (mirrors RB2DataLoader's multi-sim support —
+        # the basis of the multi-realization Beltrami protocol).
+        names = [s.strip() for s in data_filename.split(",") if s.strip()]
+        parts = []
+        for name in names:
+            path = os.path.join(data_folder, name)
+            with np.load(path) as npz:
+                parts.append(np.stack(
+                    [np.asarray(npz[c], np.float32) for c in channels],
+                    axis=-1))                           # [T, Z, Y, X, C]
+                self.spacings = tuple(
+                    float(npz[k]) if k in npz else 1.0
+                    for k in ("dt", "dz", "dy", "dx"))
+        t_lens = [p.shape[0] for p in parts]
+        self.data = (parts[0] if len(parts) == 1
+                     else np.concatenate(parts, axis=0))
+        del parts
         T, Z, Y, X, _ = self.data.shape
-        if nt > T or nz > Z or ny > Y or nx > X:
+        if nt > min(t_lens) or nz > Z or ny > Y or nx > X:
             raise ValueError(
                 f"crop ({nt},{nz},{ny},{nx}) > data ({T},{Z},{Y},{X})")
+        starts, off = [], 0
+        for tl in t_lens:
+            starts.append(np.arange(off, off + tl - nt + 1))
+            off += tl
+        self.valid_t0 = np.concatenate(starts).astype(np.int64)
         self.crop = (nt, nz, ny, nx)
         self.n_samp_pts_per_crop = n_samp_pts_per_crop
         self.return_hres = return_hres
@@ -69,8 +85,10 @@ class Field4DDataset:
         if not normalize_output:
             self.channel_mean = np.zeros_like(self.channel_mean)
             self.channel_std = np.ones_like(self.channel_std)
-        self._origins = tuple(
-            s - c + 1 for s, c in zip(self.data.shape[:4], self.crop))
+        # _origins[0] counts VALID t0 values (index into valid_t0 —
+        # identical to the frame count for single-file data).
+        self._origins = (len(self.valid_t0),) + tuple(
+            s - c + 1 for s, c in zip(self.data.shape[1:4], self.crop[1:]))
 
     def __len__(self) -> int:
         return int(np.prod(self._origins))
@@ -114,6 +132,7 @@ class Field4DDataset:
 
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
         origin = np.unravel_index(idx, self._origins)
+        origin = (int(self.valid_t0[origin[0]]),) + tuple(origin[1:])
         return self.sample_crop(origin, np.random.RandomState(idx))
 
     def sample_batch(self, rng: np.random.RandomState, batch_size: int
@@ -121,5 +140,6 @@ class Field4DDataset:
         items = []
         for _ in range(batch_size):
             origin = tuple(rng.randint(o) for o in self._origins)
+            origin = (int(self.valid_t0[origin[0]]),) + tuple(origin[1:])
             items.append(self.sample_crop(origin, rng))
         return {k: np.stack([it[k] for it in items]) for k in items[0]}

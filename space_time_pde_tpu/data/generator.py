@@ -33,7 +33,7 @@ from typing import Dict
 import numpy as np
 
 __all__ = ["simulate_rb2d", "taylor_green_fields", "abc_flow_fields",
-           "save_npz"]
+           "beltrami_realization_params", "save_npz"]
 
 
 def save_npz(path: str, fields: Dict[str, np.ndarray]) -> None:
@@ -272,28 +272,37 @@ def simulate_rb2d(nx: int = 512, nz: int = 128, lx: float = 4.0,
 def abc_flow_fields(nt: int = 16, nz: int = 32, ny: int = 32,
                     nx: int = 32, viscosity: float = 1e-2,
                     dt: float = 0.1, A: float = 1.0, B: float = 0.7,
-                    C: float = 0.3, dtype=np.float32
+                    C: float = 0.3, dtype=np.float32,
+                    phases=(0.0, 0.0, 0.0)
                     ) -> Dict[str, np.ndarray]:
     """Exact decaying ABC (Beltrami) Navier-Stokes solution on [0,2pi)^3.
 
-        u = (A sin z + C cos y) F,  v = (B sin x + A cos z) F,
-        w = (C sin y + B cos x) F,  p = -(u^2+v^2+w^2)/2,
-        F = exp(-nu t)
+        u = (A sin(z+pz) + C cos(y+py)) F,
+        v = (B sin(x+px) + A cos(z+pz)) F,
+        w = (C sin(y+py) + B cos(x+px)) F,
+        p = -(u^2+v^2+w^2)/2,  F = exp(-nu t)
 
-    Beltrami flow (omega = u), so (u.grad)u = grad|u|^2/2 and
-    lap(u) = -u: an exact unsteady solution of incompressible 3-D NS —
-    the 4-D analog of :func:`taylor_green_fields` for physics-loss
-    tests and 4-D pipeline demos. Arrays are [T, Z, Y, X].
+    Every axis term is a |k| = 1 Beltrami mode (curl = +1 eigenfield),
+    so for ANY amplitudes and phases the total field satisfies
+    omega = u, hence (u.grad)u = grad|u|^2/2 and lap(u) = -u: an exact
+    unsteady solution of incompressible 3-D NS — the 4-D analog of
+    :func:`taylor_green_fields` for physics-loss tests and 4-D
+    pipeline demos. ``phases = (pz, px, py)`` rotate the three modes
+    independently: random draws give fully decorrelated realizations
+    of the SAME statistical family (see
+    :func:`beltrami_realization_params` — the basis of the turb3d
+    train/val/test split protocol). Arrays are [T, Z, Y, X].
     """
+    pz, px, py = phases
     t = np.arange(nt) * dt
     z = np.linspace(0, 2 * np.pi, nz, endpoint=False)
     y = np.linspace(0, 2 * np.pi, ny, endpoint=False)
     x = np.linspace(0, 2 * np.pi, nx, endpoint=False)
     T, Z, Y, X = np.meshgrid(t, z, y, x, indexing="ij")
     F = np.exp(-viscosity * T)
-    u = (A * np.sin(Z) + C * np.cos(Y)) * F
-    v = (B * np.sin(X) + A * np.cos(Z)) * F
-    w = (C * np.sin(Y) + B * np.cos(X)) * F
+    u = (A * np.sin(Z + pz) + C * np.cos(Y + py)) * F
+    v = (B * np.sin(X + px) + A * np.cos(Z + pz)) * F
+    w = (C * np.sin(Y + py) + B * np.cos(X + px)) * F
     p = -0.5 * (u ** 2 + v ** 2 + w ** 2)
     return {
         "p": p.astype(dtype), "u": u.astype(dtype),
@@ -304,3 +313,21 @@ def abc_flow_fields(nt: int = 16, nz: int = 32, ny: int = 32,
         "dx": np.float64(2 * np.pi / nx),
         "viscosity": np.float64(viscosity),
     }
+
+
+def beltrami_realization_params(seed: int, energy: float = 1.58):
+    """Random same-statistics Beltrami realization: (A, B, C, phases).
+
+    Draws amplitudes uniformly on the positive octant of the sphere
+    A^2 + B^2 + C^2 = ``energy`` (1.58 = the classic ABC default
+    1^2 + 0.7^2 + 0.3^2) and three independent uniform phases — each
+    seed is a fully decorrelated exact NS solution with identical
+    total kinetic energy and spectral support (|k| = 1 Beltrami
+    modes). This is the turb3d analog of the rb2d protocol's
+    independent-simulation seeds (data/splits.py::CANONICAL_SEEDS).
+    """
+    rng = np.random.RandomState(seed)
+    amps = np.abs(rng.randn(3))
+    amps = amps / np.linalg.norm(amps) * np.sqrt(energy)
+    phases = rng.uniform(0.0, 2 * np.pi, size=3)
+    return float(amps[0]), float(amps[1]), float(amps[2]), tuple(phases)
