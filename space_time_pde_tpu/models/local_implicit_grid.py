@@ -56,6 +56,17 @@ def query_local_implicit_grid(
         raise ValueError(
             f"latent_grid rank {latent_grid.ndim} incompatible with "
             f"pts dim {dim}; expected [B, *spatial({dim}), C]")
+    if dim >= 4 and jax.devices()[0].platform not in ("cpu", "interpret"):
+        # The 16-corner gather/blend program reproducibly SEGFAULTS
+        # this environment's XLA:TPU compiler (bisected round 2 — see
+        # BASELINE.md config #5 notes; UNet4d and the fused 4-D Pallas
+        # kernels compile fine). Fail loudly instead of taking the
+        # whole process down inside the compiler.
+        raise NotImplementedError(
+            "query_local_implicit_grid with dim >= 4 crashes this "
+            "environment's XLA:TPU compiler; use the fused Pallas path "
+            "(ops.fused_query.fused_query_local_implicit_grid) on TPU, "
+            "or run this jnp path on CPU.")
 
     def _single(grid, p):
         feats, weights, rel = grid_interp_coefficients(grid, p, xmin, xmax)

@@ -169,6 +169,13 @@ def query_local_implicit_grid_jet(
         raise ValueError(
             f"latent_grid rank {latent_grid.ndim} incompatible with "
             f"pts dim {dim}; expected [B, *spatial({dim}), C]")
+    if dim >= 4 and jax.devices()[0].platform not in ("cpu", "interpret"):
+        # Same XLA:TPU compiler segfault as the value-only jnp query
+        # (see models/local_implicit_grid.py and BASELINE.md config #5).
+        raise NotImplementedError(
+            "query_local_implicit_grid_jet with dim >= 4 crashes this "
+            "environment's XLA:TPU compiler; use the fused Pallas jet "
+            "(ops.fused_jet.fused_query_jet) on TPU, or run on CPU.")
 
     def _single(grid, p):
         spatial = grid.shape[:-1]

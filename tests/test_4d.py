@@ -205,3 +205,32 @@ def _update(params, opt_state, loss_fn, tx):
     updates, opt_state = tx.update(grads, opt_state, params)
     import optax as _optax
     return _optax.apply_updates(params, updates), opt_state, loss
+
+
+def test_4d_jnp_query_tpu_guard(monkeypatch):
+    """On TPU the 16-corner jnp query/jet must raise a clear error
+    instead of hitting the environment's XLA:TPU compiler segfault
+    (BASELINE.md config #5 notes); CPU keeps working."""
+    import jax
+
+    from space_time_pde_tpu.models import query_local_implicit_grid
+    from space_time_pde_tpu.ops.jet import query_local_implicit_grid_jet
+
+    latent = jnp.zeros((1, 3, 3, 3, 3, 2))
+    pts = jnp.full((1, 5, 4), 0.5)
+    dec = lambda v: v[..., :1]
+
+    # CPU: both paths run.
+    out = query_local_implicit_grid(dec, latent, pts)
+    assert out.shape == (1, 5, 1)
+    v, j, h = query_local_implicit_grid_jet(dec, latent, pts)
+    assert v.shape == (1, 5, 1)
+
+    class FakeDev:
+        platform = "tpu"
+
+    monkeypatch.setattr(jax, "devices", lambda *a, **k: [FakeDev()])
+    with pytest.raises(NotImplementedError, match="fused"):
+        query_local_implicit_grid(dec, latent, pts)
+    with pytest.raises(NotImplementedError, match="fused"):
+        query_local_implicit_grid_jet(dec, latent, pts)
