@@ -106,9 +106,20 @@ def main():
         from space_time_pde_tpu.parallel import init_multihost
         proc_id, n_proc = init_multihost()
         if args.space_devices > 1:
-            raise SystemExit("--multihost currently covers the "
-                             "data-parallel paths; combine with "
-                             "--space_devices in-slice instead")
+            # Design decision: the space axis stays INTRA-slice. The
+            # halo ppermute + per-shard query binning assume the
+            # latent's sharded axis rides ICI-adjacent devices; a
+            # space axis spanning DCN would put the per-step halo and
+            # the ragged point re-binning on the slow cross-host
+            # fabric for a model whose latent grid comfortably fits
+            # one slice. Multihost therefore scales the DATA axis
+            # only (grads psum over DCN once per step); lay out any
+            # space sharding within each slice's local devices.
+            raise SystemExit(
+                "--multihost scales the data axis only (by design: "
+                "halo exchange + query binning stay on intra-slice "
+                "ICI; DCN carries just the once-per-step grad psum). "
+                "Use --space_devices on single-host/slice runs.")
         print(f"multihost: process {proc_id}/{n_proc}, "
               f"{jax.local_device_count()} local of "
               f"{jax.device_count()} global devices")

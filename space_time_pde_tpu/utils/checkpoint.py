@@ -55,6 +55,9 @@ class CheckpointManager:
     def latest_step(self) -> Optional[int]:
         return self._mngr.latest_step()
 
+    def _step_directory(self, step: int):
+        return self._mngr.directory / str(step)
+
     def restore(self, template_state: Optional[TrainState] = None,
                 step: Optional[int] = None
                 ) -> Tuple[TrainState, Dict[str, Any]]:
@@ -78,7 +81,26 @@ class CheckpointManager:
             except Exception:
                 restored = self._restore_legacy_opt_state(step, template)
         else:
-            restored = self._mngr.restore(step)
+            # Topology-agnostic: restore as host numpy via a template
+            # shaped by the checkpoint's own on-disk metadata. Without
+            # a template orbax replays the SAVED shardings, so a
+            # checkpoint written on a multihost/pod mesh refuses to
+            # load on a different topology (e.g. single-host eval of
+            # a multihost run). The manager can't produce the metadata
+            # itself (item_metadata is None until a handler registers),
+            # so read it with standalone checkpointers on the step dir.
+            step_dir = self._step_directory(step)
+            with ocp.Checkpointer(ocp.StandardCheckpointHandler()) as ck:
+                meta = ck.metadata(step_dir / "state").item_metadata
+                meta = getattr(meta, "tree", meta)
+                template = jax.tree.map(
+                    lambda m: np.zeros(m.shape, m.dtype), meta)
+                state_np = ck.restore(
+                    step_dir / "state",
+                    args=ocp.args.StandardRestore(template))
+            with ocp.Checkpointer(ocp.JsonCheckpointHandler()) as jk:
+                extra_np = jk.restore(step_dir / "extra")
+            restored = {"state": state_np, "extra": extra_np}
         s = restored["state"]
         state = TrainState(step=s["step"], params=s["params"],
                            opt_state=s["opt_state"], key=s["key"],

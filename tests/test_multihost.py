@@ -134,3 +134,81 @@ def test_two_process_dp_step(tmp_path):
     want = np.asarray(w - 0.1 * grad).ravel()
     got = np.asarray([float(v) for v in results[0].split("w ")[1].split()])
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_two_process_train_cli(tmp_path):
+    """The ACTUAL experiments/rb2d/train.py --multihost CLI, two
+    processes on localhost gRPC: tiny shapes, 2 epochs, shared
+    --log_dir with a coordinated orbax save. Regression-only
+    (alpha_pde 0) keeps the compile small enough for CI."""
+    import numpy as np
+
+    from space_time_pde_tpu.data import save_npz, taylor_green_fields
+
+    save_npz(str(tmp_path / "tg.npz"),
+             taylor_green_fields(nt=12, nz=16, nx=16, dt=0.05))
+    log_dir = tmp_path / "log"
+    port = _free_port()
+    cli = os.path.join(_ROOT, "experiments", "rb2d", "train.py")
+    argv = [
+        sys.executable, "-u", cli,
+        "--multihost",
+        "--data_folder", str(tmp_path),
+        "--train_data", "tg.npz", "--eval_data", "tg.npz",
+        "--nt", "8", "--nz", "16", "--nx", "16",
+        "--downsamp_t", "2", "--downsamp_xz", "4",
+        "--n_samp_pts_per_crop", "16",
+        "--lat_dims", "4", "--unet_nf", "4", "--imnet_nf", "2",
+        "--epochs", "2", "--pseudo_epoch_size", "4",
+        "--batch_size_per_gpu", "2", "--alpha_pde", "0",
+        "--lr", "1e-3", "--log_dir", str(log_dir),
+        "--device_data", "0",
+    ]
+    procs = []
+    for pid in (0, 1):
+        env = dict(
+            os.environ,
+            STPDE_PLATFORM="cpu",
+            STPDE_COORDINATOR=f"localhost:{port}",
+            STPDE_NUM_PROCESSES="2",
+            STPDE_PROCESS_ID=str(pid),
+        )
+        env.pop("XLA_FLAGS", None)
+        procs.append(subprocess.Popen(
+            argv, env=env, stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True))
+    outs = []
+    for p in procs:
+        # Two interpreters compile the train+eval programs concurrently;
+        # on a single-core box that serializes to ~4-6 min worst case.
+        try:
+            out, _ = p.communicate(timeout=540)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, _ = p.communicate()
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {pid} failed:\n{out[-4000:]}"
+    assert "multihost: process 0/2, 1 local of 2 global devices" in outs[0]
+
+    # Identical global step => identical printed epoch metrics on both
+    # processes (the psum'd loss crosses the wire). Strip the
+    # per-process wall-clock suffix before comparing.
+    def epoch_lines(out):
+        return [ln.split(" (")[0] for ln in out.splitlines()
+                if ln.startswith("epoch ")]
+
+    e0, e1 = epoch_lines(outs[0]), epoch_lines(outs[1])
+    assert len(e0) == 2, outs[0][-2000:]
+    assert e0 == e1, (e0, e1)
+
+    # Coordinated orbax save landed in the SHARED log_dir and is
+    # restorable (metrics logger wrote only on process 0).
+    ckpts = log_dir / "checkpoints"
+    assert ckpts.is_dir()
+    from space_time_pde_tpu.utils.checkpoint import CheckpointManager
+    mngr = CheckpointManager(str(ckpts))
+    _, extra = mngr.restore()
+    assert int(extra["epoch"]) == 1
+    mngr.close()
+    assert (log_dir / "metrics.jsonl").exists()
