@@ -214,29 +214,39 @@ def main():
         loss_fn = sampler.wrap_loss(loss_fn)
         print("device-data pipeline: batch assembly fused into the "
               "jitted step (host sends origins+points only)")
+    def build_step(tx, state):
+        """(Re)build the jitted train step for the active parallel
+        layout. Cliff auto-recovery calls this again with a reduced-lr
+        optimizer; the mesh/data plumbing is layout-static so only the
+        tx-closing step (and dp_sp place) functions are remade."""
+        mesh = place_fn = None
+        if n_space > 1:
+            from space_time_pde_tpu.parallel.dp_sp import \
+                make_dp_sp_train_step
+            n_data = n_data_ranks
+            assert n_data * n_space == ndev, (
+                f"--space_devices {n_space} must divide device count {ndev}")
+            step_fn, mesh, place_fn = make_dp_sp_train_step(
+                cfg, unet, imnet, pde_layer, tx, n_data, n_space,
+                sharded_encoder=args.sharded_encoder, n_inner=inner)
+        elif ndev > 1 and inner > 1:
+            step_fn, mesh = make_dp_multi_step(loss_fn, tx, inner, ndev)
+            state = replicate_state(state, mesh)
+        elif ndev > 1:
+            step_fn, mesh = make_dp_train_step(loss_fn, tx, ndev)
+            state = replicate_state(state, mesh)
+        elif inner > 1:
+            from space_time_pde_tpu.train.trainer import make_multi_step
+            step_fn = make_multi_step(loss_fn, tx, inner)
+        else:
+            step_fn = make_train_step(loss_fn, tx)
+        return step_fn, mesh, place_fn, state
+
+    step_fn, mesh, place_fn, state = build_step(tx, state)
     if n_space > 1:
-        from space_time_pde_tpu.parallel.dp_sp import (
-            make_dp_sp_batch, make_dp_sp_train_step,
-        )
-        n_data = n_data_ranks
-        assert n_data * n_space == ndev, (
-            f"--space_devices {n_space} must divide device count {ndev}")
-        step_fn, mesh, place_fn = make_dp_sp_train_step(
-            cfg, unet, imnet, pde_layer, tx, n_data, n_space,
-            sharded_encoder=args.sharded_encoder, n_inner=inner)
+        from space_time_pde_tpu.parallel.dp_sp import make_dp_sp_batch
         x_nodes = ds.lres_shape[2]
         sp_batch = lambda b: make_dp_sp_batch(b, n_space, x_nodes)
-    elif ndev > 1 and inner > 1:
-        step_fn, mesh = make_dp_multi_step(loss_fn, tx, inner, ndev)
-        state = replicate_state(state, mesh)
-    elif ndev > 1:
-        step_fn, mesh = make_dp_train_step(loss_fn, tx, ndev)
-        state = replicate_state(state, mesh)
-    elif inner > 1:
-        from space_time_pde_tpu.train.trainer import make_multi_step
-        step_fn = make_multi_step(loss_fn, tx, inner)
-    else:
-        step_fn = make_train_step(loss_fn, tx)
     # Eval always runs the plain module (same params either way).
     eval_fn = make_eval_fn(cfg, plain_unet, imnet)
 
@@ -317,6 +327,9 @@ def main():
     import contextlib
 
     best_eval = float("inf")
+    lr_scale = 1.0
+    from space_time_pde_tpu.train.recovery import CliffDetector
+    cliff = CliffDetector() if cfg.train.cliff_recovery else None
     for epoch in range(start_epoch, cfg.train.epochs):
         profile_ctx = (
             jax.profiler.trace(os.path.join(cfg.train.log_dir, "profile"))
@@ -343,7 +356,9 @@ def main():
                 state, metrics = step_fn(state, batch)
             jax.block_until_ready(state.params)
         metrics = {k: float(v) for k, v in metrics.items()}
-        if not all(np.isfinite(v) for v in metrics.values()):
+        recover_reason = None
+        epoch_healthy = all(np.isfinite(v) for v in metrics.values())
+        if not epoch_healthy:
             bad = {k: v for k, v in metrics.items()
                    if not np.isfinite(v)}
             # The invariant that matters is PARAM health: spiked batches
@@ -370,10 +385,33 @@ def main():
                       "update(s) skipped (apply_if_finite), params "
                       "healthy; device buffers re-uploaded, continuing")
             else:
+                recover_reason = f"non-finite params ({sorted(bad)})"
+        if recover_reason is None and cliff is not None:
+            recover_reason = cliff.update(metrics)
+        if recover_reason is not None:
+            # Cliff auto-recovery (BASELINE.md spike dissection): the
+            # 2nd-order loss walked onto a kink cliff. Restore the last
+            # healthy checkpoint and continue at reduced lr instead of
+            # aborting (non-finite params) or spinning on skipped
+            # updates. Deterministic across multihost processes: the
+            # psum'd metrics are identical everywhere.
+            if cliff is None or mngr.latest_step() is None:
                 raise SystemExit(
-                    f"non-finite params at epoch {epoch} ({bad}) — "
-                    "lower --lr / --alpha_pde or rerun with --debug_nans "
-                    "to locate the producing op")
+                    f"{recover_reason} at epoch {epoch} and no healthy "
+                    "checkpoint to restore — lower --lr / --alpha_pde "
+                    "or rerun with --debug_nans to locate the "
+                    "producing op")
+            lr_scale *= cfg.train.recovery_lr_factor
+            tx = make_optimizer(cfg, steps_per_epoch, lr_scale=lr_scale)
+            step_fn, _, new_place_fn, state = build_step(tx, state)
+            if new_place_fn is not None:
+                place_fn = new_place_fn
+            state, _ = mngr.restore(state)
+            cliff.reset()
+            print(f"epoch {epoch}: CLIFF RECOVERY — {recover_reason}; "
+                  f"restored step {int(jax.device_get(state.step).max()) if hasattr(state.step, 'max') else int(state.step)}, "
+                  f"continuing with lr x{lr_scale:g}", flush=True)
+            continue
         step_now = int(jax.device_get(state.step).max()) if hasattr(
             state.step, "max") else int(state.step)
         sec_per_step = (time.time() - t0) / steps_per_epoch
@@ -400,8 +438,13 @@ def main():
               f"eval_rel_l2={em.get('rel_l2', 0):.5f} "
               f"({sec_per_step:.3f}s/step)", flush=True)
 
-        if (epoch + 1) % cfg.train.ckpt_every_epochs == 0 or \
-                em.get("rel_l2", 1e9) < best_eval:
+        # Never checkpoint an unhealthy epoch: its params may sit ON
+        # the cliff (finite but corrupted), and cliff recovery restores
+        # the LATEST checkpoint — saving here would make recovery
+        # restore the very state it is escaping.
+        if epoch_healthy and (
+                (epoch + 1) % cfg.train.ckpt_every_epochs == 0 or
+                em.get("rel_l2", 1e9) < best_eval):
             best_eval = min(best_eval, em.get("rel_l2", 1e9))
             mngr.save(step_now, state, extra={
                 "config": cfg.to_dict(),

@@ -83,13 +83,16 @@ def build_models(cfg: Config, lres_shape: Tuple[int, int, int],
     return unet, imnet
 
 
-def make_optimizer(cfg: Config, steps_per_epoch: int = 1000
-                   ) -> optax.GradientTransformation:
+def make_optimizer(cfg: Config, steps_per_epoch: int = 1000,
+                   lr_scale: float = 1.0) -> optax.GradientTransformation:
+    """``lr_scale`` uniformly rescales the schedule — used by cliff
+    auto-recovery to continue a restored run at reduced lr without
+    changing the opt_state pytree (so checkpoints stay compatible)."""
     if cfg.train.lr_schedule == "cosine":
         sched = optax.cosine_decay_schedule(
-            cfg.train.lr, cfg.train.epochs * steps_per_epoch)
+            cfg.train.lr * lr_scale, cfg.train.epochs * steps_per_epoch)
     else:
-        sched = cfg.train.lr
+        sched = cfg.train.lr * lr_scale
     tx = optax.adam(sched)
     if cfg.train.clip_grad and cfg.train.clip_grad > 0:
         tx = optax.chain(optax.clip_by_global_norm(cfg.train.clip_grad), tx)

@@ -82,6 +82,10 @@ class TrainConfig:
                                     # see BASELINE.md round-2)
     pde_loss_type: str = "l2"       # l2 (reference) | huber (bounded-influence
                                     # residuals; tames 2nd-order loss cliffs)
+    cliff_recovery: bool = True     # on a pde-loss explosion / frozen
+                                    # non-finite streak: restore the last
+                                    # checkpoint and continue at reduced lr
+    recovery_lr_factor: float = 0.5  # lr multiplier applied per recovery
 
 
 @dataclass
@@ -122,6 +126,8 @@ _FLAG_MAP = {
     "pde_derivs": ("train", "pde_derivs"),
     "pde_bf16": ("train", "pde_bf16"),
     "pde_loss_type": ("train", "pde_loss_type"),
+    "cliff_recovery": ("train", "cliff_recovery"),
+    "recovery_lr_factor": ("train", "recovery_lr_factor"),
     "data_folder": ("data", "data_folder"),
     "train_data": ("data", "train_data"),
     "eval_data": ("data", "eval_data"),
