@@ -161,10 +161,6 @@ def main():
     eval_ds.channel_mean = ds.channel_mean
     eval_ds.channel_std = ds.channel_std
 
-    if cfg.model.norm == "batch" and args.space_devices > 1:
-        raise SystemExit("--norm batch is supported on the data-parallel "
-                         "paths only (not --space_devices > 1); the "
-                         "default GroupNorm is shard-exact everywhere")
     unet, imnet = build_models(
         cfg, ds.lres_shape,
         bn_axis_name="data" if (cfg.model.norm == "batch" and ndev > 1)
@@ -176,13 +172,17 @@ def main():
         from space_time_pde_tpu.parallel.sharded_unet import ShardedUNet3d
         # Identical parameter pytree to UNet3d (tested), so init, eval
         # and checkpoints all go through the plain module; only the
-        # training step's apply uses the halo-conv layout.
+        # training step's apply uses the halo-conv layout. BatchNorm
+        # stats on the sharded encoder sync over BOTH mesh axes (each
+        # x-shard sees only part of the spatial positions).
         unet = ShardedUNet3d(
             in_features=cfg.model.in_channels,
             out_features=cfg.model.lat_dims, igres=tuple(ds.lres_shape),
             nf=cfg.model.unet_nf, mf=cfg.model.unet_mf,
             negative_slope=cfg.model.negative_slope,
-            activation=cfg.model.activation)
+            activation=cfg.model.activation, norm=cfg.model.norm,
+            bn_axis_name=(("data", "space")
+                          if cfg.model.norm == "batch" else None))
     et, ez, ex = ds.coord_extents
     pde_layer = get_pde_layer(
         cfg.physics.pde_system,
@@ -426,9 +426,12 @@ def main():
         # training step placed the params on.
         eval_params = (jax.device_get(state.params) if args.sharded_encoder
                        else jax.tree.map(lambda x: x, state.params))
+        eval_stats = (jax.device_get(state.batch_stats)
+                      if args.sharded_encoder and
+                      state.batch_stats is not None else state.batch_stats)
         em = {k: float(np.asarray(v).mean()) if np.ndim(v) == 0 else 0.0
               for k, v in eval_fn(eval_params, eval_batch,
-                                  state.batch_stats).items()
+                                  eval_stats).items()
               if np.ndim(v) == 0}
         if logger is not None:
             logger.log(step_now, em, prefix="eval/")

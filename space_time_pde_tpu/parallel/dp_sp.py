@@ -177,16 +177,35 @@ def make_dp_sp_train_step(cfg, unet, imnet, pde_layer,
             values = batch["point_value"][:, 0]
             mask = batch["point_mask"][:, 0]      # [b_loc, M]
 
+            # BatchNorm mode: stats ride the state; the encoder apply
+            # is mutable and the updated running stats return through
+            # the aux dict (same "_batch_stats" protocol as
+            # train.trainer). nn.BatchNorm's bn_axis_name already
+            # pmean-syncs the batch statistics across the mesh, so the
+            # returned stats are replica-identical — never psum them.
+            new_stats = None
+
+            def encode(module, inp):
+                nonlocal new_stats
+                if state.batch_stats is None:
+                    return module.apply({"params": params["unet"]}, inp)
+                out, uvars = module.apply(
+                    {"params": params["unet"],
+                     "batch_stats": state.batch_stats},
+                    inp, train=True, mutable=["batch_stats"])
+                new_stats = uvars["batch_stats"]
+                return out
+
             if sharded_encoder:
                 # Halo-conv encoder: lres arrives x-sharded; its output
                 # IS the latent shard.
-                latent_shard = unet.apply({"params": params["unet"]}, lres)
+                latent_shard = encode(unet, lres)
                 x_nodes = latent_shard.shape[-2] * n_space
             else:
                 # Replicated encoder: every space-rank encodes the full
                 # grid and slices its shard along the LAST spatial axis
                 # (axis -2 of [b, *spatial, C] — 3-D and 4-D alike).
-                latent = unet.apply({"params": params["unet"]}, lres)
+                latent = encode(unet, lres)
                 x_nodes = latent.shape[-2]
                 n_loc = x_nodes // n_space
                 s = jax.lax.axis_index("space")
@@ -218,15 +237,19 @@ def make_dp_sp_train_step(cfg, unet, imnet, pde_layer,
                 metrics["pde_loss"] = jax.lax.psum(pde_local, axes)
                 loss_local = loss_local + alpha * pde_local
             metrics["loss"] = jax.lax.psum(loss_local, axes)
+            if new_stats is not None:
+                metrics["_batch_stats"] = new_stats
             return loss_local, metrics
 
         (_, metrics), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
         grads = jax.lax.psum(grads, axes)
+        new_stats = metrics.pop("_batch_stats", state.batch_stats)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         new_state = TrainState(step=state.step + 1, params=params,
-                               opt_state=opt_state, key=state.key)
+                               opt_state=opt_state, key=state.key,
+                               batch_stats=new_stats)
         metrics["grad_norm"] = optax.global_norm(grads)
         return new_state, metrics
 

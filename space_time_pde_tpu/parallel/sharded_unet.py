@@ -20,7 +20,7 @@ agree). Must run inside ``shard_map`` with the x axis sharded.
 from __future__ import annotations
 
 import math
-from typing import Any, Sequence
+from typing import Any, Optional, Sequence
 
 import flax.linen as nn
 import jax
@@ -42,6 +42,29 @@ def _num_groups(ch: int) -> int:
     return 1
 
 
+def _make_sharded_norm(norm: str, ch: int, name: str, train: bool,
+                       axis_name: str, bn_axis_name) -> nn.Module:
+    """Norm factory mirroring ``models.unet3d.make_norm`` on shards.
+
+    ``group``: :class:`ShardedGroupNorm` (per-(sample, group) stats
+    psum'd over the space axis — shard-exact, functional).
+    ``batch``: flax ``nn.BatchNorm`` whose batch statistics are pmean'd
+    over ``bn_axis_name`` — for the SHARDED encoder this must include
+    the space axis (each shard sees only X/n of the spatial positions;
+    equal shard sizes make the pmean of local means the exact global
+    mean) and the data axis under data parallelism. Same momentum/eps
+    as the unsharded mode and the same param/batch_stats tree names, so
+    checkpoints remain interchangeable between layouts.
+    """
+    if norm == "batch":
+        return nn.BatchNorm(use_running_average=not train,
+                            momentum=0.9, epsilon=1e-5,
+                            axis_name=bn_axis_name, name=name)
+    if norm == "group":
+        return ShardedGroupNorm(_num_groups(ch), axis_name, name=name)
+    raise ValueError(f"unknown norm {norm!r}; available: group, batch")
+
+
 class ShardedResBlock3D(nn.Module):
     neck_channels: int
     out_channels: int
@@ -49,12 +72,15 @@ class ShardedResBlock3D(nn.Module):
     negative_slope: float = 0.01
     dtype: Any = jnp.float32
     activation: str = "leaky_relu"
+    norm: str = "group"
+    bn_axis_name: Any = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         act = get_activation(self.activation, self.negative_slope)
-        gn = lambda ch, name: ShardedGroupNorm(
-            _num_groups(ch), self.axis_name, name=name)
+        gn = lambda ch, name: _make_sharded_norm(
+            self.norm, ch, name, train, self.axis_name,
+            self.bn_axis_name)
         h = nn.Conv(self.neck_channels, (1, 1, 1), dtype=self.dtype,
                     name="conv1")(x)
         h = act(gn(self.neck_channels, "norm1")(h))
@@ -88,38 +114,38 @@ class ShardedUNet3d(nn.Module):
     negative_slope: float = 0.01
     dtype: Any = jnp.float32
     activation: str = "leaky_relu"
+    norm: str = "group"
+    bn_axis_name: Any = None
 
     @property
     def levels(self) -> int:
         return int(math.floor(math.log2(min(self.igres))))
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         lv = self.levels
         act = get_activation(self.activation, self.negative_slope)
         if x.shape[3] % (2 ** lv) != 0:
             raise ValueError(
                 f"local x {x.shape[3]} not divisible by 2^{lv}")
         x = x.astype(self.dtype)
+        block = lambda neck, ch, name: ShardedResBlock3D(
+            neck, ch, self.axis_name, self.negative_slope, self.dtype,
+            self.activation, self.norm, self.bn_axis_name, name=name)
 
         h = act(HaloConv3d(self.nf, (3, 3, 3), axis_name=self.axis_name,
                            dtype=self.dtype, name="conv_in")(x))
         skips = []
         ch = self.nf
         for i in range(lv):
-            h = ShardedResBlock3D(max(ch // 2, 1), ch, self.axis_name,
-                                  self.negative_slope, self.dtype,
-                                  self.activation,
-                                  name=f"down_res{i}")(h)
+            h = block(max(ch // 2, 1), ch, f"down_res{i}")(h, train)
             skips.append(h)
             ch = min(ch * 2, self.mf)
             h = act(HaloConv3d(ch, (3, 3, 3), strides=(2, 2, 2),
                                axis_name=self.axis_name, dtype=self.dtype,
                                name=f"down{i}")(h))
 
-        h = ShardedResBlock3D(max(ch // 2, 1), ch, self.axis_name,
-                              self.negative_slope, self.dtype,
-                              self.activation, name="bottleneck")(h)
+        h = block(max(ch // 2, 1), ch, "bottleneck")(h, train)
 
         for i in reversed(range(lv)):
             skip = skips[i]
@@ -131,10 +157,7 @@ class ShardedUNet3d(nn.Module):
             h = act(nn.ConvTranspose(ch, (2, 2, 2), strides=(2, 2, 2),
                                      dtype=self.dtype, name=f"up{i}")(h))
             h = jnp.concatenate([h, skip], axis=-1)
-            h = ShardedResBlock3D(max(ch // 2, 1), ch, self.axis_name,
-                                  self.negative_slope, self.dtype,
-                                  self.activation,
-                                  name=f"up_res{i}")(h)
+            h = block(max(ch // 2, 1), ch, f"up_res{i}")(h, train)
 
         out = nn.Conv(self.out_features, (1, 1, 1), dtype=self.dtype,
                       name="conv_out")(h)

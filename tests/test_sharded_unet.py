@@ -178,3 +178,115 @@ def test_unet3d_checkpoint_interchangeable_with_sharded():
                                rtol=5e-5, atol=5e-5)
     np.testing.assert_allclose(np.asarray(got4), np.asarray(want),
                                rtol=5e-5, atol=5e-5)
+
+
+def test_sharded_batchnorm_matches_unsharded():
+    """--norm batch on the sharded encoder: train-mode outputs AND
+    updated running stats at any shard count equal plain UNet3d's
+    (BatchNorm statistics pmean'd over the space axis; equal shard
+    sizes make the mean of shard means the exact global mean)."""
+    from space_time_pde_tpu.models import UNet3d
+
+    igres = (4, 16, 32)
+    plain = UNet3d(in_features=4, out_features=8, igres=igres, nf=8,
+                   norm="batch")
+    sharded = ShardedUNet3d(in_features=4, out_features=8, igres=igres,
+                            nf=8, norm="batch", bn_axis_name="space")
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(2, *igres, 4).astype(np.float32))
+
+    variables = plain.init(jax.random.PRNGKey(3), x)
+    sh_vars = jax.jit(jax.shard_map(
+        lambda xs: sharded.init(jax.random.PRNGKey(3), xs), mesh=_mesh(1),
+        in_specs=(SPEC,), out_specs=P(), check_vma=False))(x)
+    # Checkpoint interchangeability incl. the batch_stats collection.
+    assert (jax.tree_util.tree_structure(variables)
+            == jax.tree_util.tree_structure(sh_vars))
+
+    want, wvars = plain.apply(variables, x, train=True,
+                              mutable=["batch_stats"])
+
+    def run(n):
+        def f(xs):
+            out, uv = sharded.apply(variables, xs, train=True,
+                                    mutable=["batch_stats"])
+            return out, uv["batch_stats"]
+        return jax.jit(jax.shard_map(
+            f, mesh=_mesh(n), in_specs=(SPEC,),
+            out_specs=(SPEC, P()), check_vma=False))(x)
+
+    for n in (1, 4):
+        got, stats = run(n)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-4)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4),
+            stats, wvars["batch_stats"])
+
+    # Inference mode (running averages, no cross-shard sync needed).
+    ev_want = plain.apply(variables, x)
+    ev_got = _apply(sharded, variables, x, 4)
+    np.testing.assert_allclose(np.asarray(ev_got), np.asarray(ev_want),
+                               rtol=5e-5, atol=5e-5)
+
+
+def test_dp_sp_sharded_encoder_batchnorm():
+    """2-D-mesh train step with halo-conv encoder in BatchNorm mode:
+    running stats thread through TrainState and actually update."""
+    import optax
+    from space_time_pde_tpu.data import RB2DataLoader, save_npz, \
+        taylor_green_fields
+    from space_time_pde_tpu.parallel.dp_sp import (
+        make_dp_sp_batch, make_dp_sp_train_step,
+    )
+    from space_time_pde_tpu.parallel.sharded_unet import (
+        init_sharded_unet_params,
+    )
+    from space_time_pde_tpu.models import ImNet
+    from space_time_pde_tpu.train.trainer import TrainState
+    from space_time_pde_tpu.utils.config import Config
+    import tempfile, os
+
+    d = tempfile.mkdtemp()
+    save_npz(os.path.join(d, "tg.npz"),
+             taylor_green_fields(nt=16, nz=16, nx=32, dt=0.05))
+    ds = RB2DataLoader(
+        data_folder=d, data_filename="tg.npz",
+        nt=8, nz=16, nx=32, n_samp_pts_per_crop=32,
+        downsamp_t=2, downsamp_xz=2)
+
+    cfg = Config()
+    cfg.train.alpha_pde = 0.0
+    unet = ShardedUNet3d(in_features=4, out_features=8,
+                         igres=ds.lres_shape, nf=8, norm="batch",
+                         bn_axis_name=("data", "space"))
+    imnet = ImNet(dim=3, in_features=8, out_features=4, nf=2)
+    key = jax.random.PRNGKey(0)
+    sample = jnp.zeros((1, *ds.lres_shape, 4))
+    uvars = init_sharded_unet_params(key, unet, sample)
+    params = {
+        "unet": uvars["params"],
+        "imnet": imnet.init(key, jnp.zeros((1, 11)))["params"],
+    }
+    tx = optax.adam(1e-3)
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       opt_state=tx.init(params), key=key,
+                       batch_stats=uvars["batch_stats"])
+    stats0 = jax.device_get(state.batch_stats)
+    step, mesh, place = make_dp_sp_train_step(
+        cfg, unet, imnet, None, tx, n_data=4, n_space=2,
+        sharded_encoder=True)
+    batch = make_dp_sp_batch(
+        ds.sample_batch(np.random.RandomState(0), 4), 2,
+        ds.lres_shape[2])
+    state, placed = place(state, {k: jnp.asarray(v)
+                                  for k, v in batch.items()})
+    state, metrics = step(state, placed)
+    assert np.isfinite(float(metrics["loss"]))
+    assert "_batch_stats" not in metrics
+    stats1 = jax.device_get(state.batch_stats)
+    changed = jax.tree.map(
+        lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+        stats0, stats1)
+    assert max(jax.tree.leaves(changed)) > 0.0
