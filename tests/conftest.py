@@ -32,6 +32,25 @@ _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _ROOT)
 
 
+def subprocess_env(**extra):
+    """Environment for tests that spawn fresh interpreters (driver CLIs,
+    multihost runs): CPU platform + the SAME persistent compilation
+    cache this conftest configures in-process. Without it every
+    subprocess recompiles the full train/eval programs from scratch —
+    measured at 60-90 s per interpreter, the dominant cost of the
+    driver-level tests."""
+    env = dict(
+        os.environ,
+        STPDE_PLATFORM="cpu",
+        JAX_COMPILATION_CACHE_DIR=os.path.expanduser(
+            "~/.cache/stpde_xla_test"),
+        JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS="0.5",
+    )
+    env.pop("XLA_FLAGS", None)
+    env.update({k: str(v) for k, v in extra.items()})
+    return env
+
+
 def load_driver(experiment: str, modname: str):
     """Import experiments/<experiment>/<modname>.py fresh.
 

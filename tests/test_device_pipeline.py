@@ -82,13 +82,16 @@ def test_wrapped_loss_matches_host_batch(tg_ds):
         origins[:, 0], origins[:, 1], origins[:, 2], pts).items()}
     raw = {"origins": jnp.asarray(origins), "point_coord": jnp.asarray(pts)}
 
-    loss_host, _ = loss_fn(params, host_batch)
-    loss_dev, _ = wrapped(params, raw)
+    # jit everything: eager op-by-op CPU execution of the jet graph is
+    # ~10x slower than the compiled program (and compiles persist in
+    # the suite's compilation cache across runs).
+    loss_host, _ = jax.jit(loss_fn)(params, host_batch)
+    loss_dev, _ = jax.jit(wrapped)(params, raw)
     np.testing.assert_allclose(float(loss_dev), float(loss_host),
                                rtol=1e-4)
 
-    g_host = jax.grad(lambda p: loss_fn(p, host_batch)[0])(params)
-    g_dev = jax.grad(lambda p: wrapped(p, raw)[0])(params)
+    g_host = jax.jit(jax.grad(lambda p: loss_fn(p, host_batch)[0]))(params)
+    g_dev = jax.jit(jax.grad(lambda p: wrapped(p, raw)[0]))(params)
     fh, _ = jax.flatten_util.ravel_pytree(g_host)
     fd, _ = jax.flatten_util.ravel_pytree(g_dev)
     np.testing.assert_allclose(np.asarray(fd), np.asarray(fh),

@@ -34,14 +34,18 @@ def _fused(imnet, params, latent, pts, block_pts=16, pad_to=16):
     # pad_to=16 keeps interpret-mode wall time sane for the tiny test
     # widths; one forward case below runs the production pad_to=128
     # packing (padded lanes must carry exact zeros either way).
-    return fused_query_jet(imnet, params, latent, pts,
-                           block_pts=block_pts, pad_to=pad_to,
-                           compute_dtype=jnp.float32, interpret=True)
+    # jitted: interpret-mode pallas lowers to plain XLA ops, so the
+    # compiled (cache-persisted) program replaces an eager op-by-op
+    # walk of the simulated kernel.
+    return jax.jit(lambda p, l, q: fused_query_jet(
+        imnet, p, l, q, block_pts=block_pts, pad_to=pad_to,
+        compute_dtype=jnp.float32, interpret=True))(params, latent, pts)
 
 
 def _jnp_jet(imnet, params, latent, pts):
     dec = lambda v: imnet.apply({"params": params}, v)
-    return query_local_implicit_grid_jet(dec, latent, pts)
+    return jax.jit(lambda l, q: query_local_implicit_grid_jet(
+        dec, l, q))(latent, pts)
 
 
 @pytest.mark.parametrize("n,block,pad", [(32, 16, 128), (23, 16, 16),
@@ -145,10 +149,13 @@ def test_fused_jet_gradients_match_jnp_jet():
         return query_local_implicit_grid_jet(dec, latent, pts)
 
     fused_fn = functools.partial(_fused, block_pts=8)
-    g1p, g1l = jax.grad(functools.partial(loss, fused_fn),
-                        argnums=(0, 1))(params, latent)
-    g2p, g2l = jax.grad(functools.partial(loss, jnp_fn),
-                        argnums=(0, 1))(params, latent)
+    # jit: interpret-mode pallas lowers to plain XLA ops, so the
+    # compiled (and cache-persisted) program replaces an eager op-by-op
+    # walk of the simulated kernel.
+    g1p, g1l = jax.jit(jax.grad(functools.partial(loss, fused_fn),
+                                argnums=(0, 1)))(params, latent)
+    g2p, g2l = jax.jit(jax.grad(functools.partial(loss, jnp_fn),
+                                argnums=(0, 1)))(params, latent)
 
     np.testing.assert_allclose(np.asarray(g1l), np.asarray(g2l),
                                rtol=3e-4, atol=3e-3)
@@ -193,8 +200,10 @@ def test_fused_jet_in_training_loss():
                                          jet=(pred, jac, hess))
         return reg + 0.1 * pde_total
 
-    l1, g1 = jax.value_and_grad(loss)(params, "fused")
-    l2, g2 = jax.value_and_grad(loss)(params, "jnp")
+    l1, g1 = jax.jit(jax.value_and_grad(loss),
+                     static_argnums=1)(params, "fused")
+    l2, g2 = jax.jit(jax.value_and_grad(loss),
+                     static_argnums=1)(params, "jnp")
     np.testing.assert_allclose(float(l1), float(l2), rtol=1e-4)
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),

@@ -36,26 +36,31 @@ def _setup(dim=3, n=64, lat=8, nf=4, out=4, seed=0, spatial=None):
 
 
 def _tower_jet(decoder, grid, pts, dim):
-    """Reference value/jac/hess via nested jvp through the stock query."""
+    """Reference value/jac/hess via nested jvp through the stock query.
+    jitted: the tower graph executed eagerly op-by-op on CPU is ~10x
+    slower than the compiled program (cache-persistent across runs)."""
     fwd = lambda p: query_local_implicit_grid(decoder, grid, p)
 
-    def tangent(axis):
-        t = jnp.zeros_like(pts)
-        return t.at[..., axis].set(1.0)
+    def compute(pts):
+        def tangent(axis):
+            t = jnp.zeros_like(pts)
+            return t.at[..., axis].set(1.0)
 
-    value = fwd(pts)
-    jac = jnp.stack(
-        [jax.jvp(fwd, (pts,), (tangent(a),))[1] for a in range(dim)],
-        axis=-1)
+        value = fwd(pts)
+        jac = jnp.stack(
+            [jax.jvp(fwd, (pts,), (tangent(a),))[1] for a in range(dim)],
+            axis=-1)
 
-    def d1(a):
-        return lambda p: jax.jvp(fwd, (p,), (tangent(a),))[1]
+        def d1(a):
+            return lambda p: jax.jvp(fwd, (p,), (tangent(a),))[1]
 
-    hess = jnp.stack([
-        jnp.stack([jax.jvp(d1(a), (pts,), (tangent(b),))[1]
-                   for b in range(dim)], axis=-1)
-        for a in range(dim)], axis=-2)
-    return value, jac, hess
+        hess = jnp.stack([
+            jnp.stack([jax.jvp(d1(a), (pts,), (tangent(b),))[1]
+                       for b in range(dim)], axis=-1)
+            for a in range(dim)], axis=-2)
+        return value, jac, hess
+
+    return jax.jit(compute)(pts)
 
 
 def test_weight_jet_matches_autodiff():
@@ -87,7 +92,8 @@ def test_weight_jet_matches_autodiff():
 
 def test_query_jet_matches_towers_3d():
     grid, pts, decoder, _, _ = _setup(dim=3)
-    v, j, h = query_local_implicit_grid_jet(decoder, grid, pts)
+    v, j, h = jax.jit(lambda p: query_local_implicit_grid_jet(
+        decoder, grid, p))(pts)
     v0, j0, h0 = _tower_jet(decoder, grid, pts, 3)
     np.testing.assert_allclose(np.asarray(v), np.asarray(v0),
                                rtol=1e-5, atol=1e-5)
@@ -100,7 +106,8 @@ def test_query_jet_matches_towers_3d():
 def test_query_jet_matches_towers_2d_and_4d():
     for dim in (2, 4):
         grid, pts, decoder, _, _ = _setup(dim=dim, n=32, seed=dim)
-        v, j, h = query_local_implicit_grid_jet(decoder, grid, pts)
+        v, j, h = jax.jit(lambda p: query_local_implicit_grid_jet(
+            decoder, grid, p))(pts)
         v0, j0, h0 = _tower_jet(decoder, grid, pts, dim)
         np.testing.assert_allclose(np.asarray(v), np.asarray(v0),
                                    rtol=1e-5, atol=1e-5)
@@ -120,8 +127,8 @@ def test_pde_residuals_jet_vs_tower():
     fwd = lambda p: query_local_implicit_grid(decoder, grid, p)
     jet_fn = lambda p: query_local_implicit_grid_jet(decoder, grid, p)
 
-    res_tower = layer(pts, fwd=fwd)
-    res_jet = layer(pts, jet=jet_fn)
+    res_tower = jax.jit(lambda p: layer(p, fwd=fwd))(pts)
+    res_jet = jax.jit(lambda p: layer(p, jet=jet_fn))(pts)
     assert set(res_tower) == set(res_jet)
     for name in res_tower:
         np.testing.assert_allclose(
@@ -176,8 +183,8 @@ def test_loss_and_grads_jet_vs_tower():
     for mode in ("jet", "tower"):
         cfg.train.pde_derivs = mode
         loss_fn = make_loss_fn(cfg, unet, imnet, layer)
-        (loss, metrics), g = jax.value_and_grad(
-            loss_fn, has_aux=True)(params, batch)
+        (loss, metrics), g = jax.jit(jax.value_and_grad(
+            loss_fn, has_aux=True))(params, batch)
         losses[mode] = float(loss)
         grads[mode] = g
         assert np.isfinite(losses[mode])

@@ -19,6 +19,8 @@ import socket
 import subprocess
 import sys
 
+from conftest import subprocess_env
+
 _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 _RUNNER = r"""
@@ -86,14 +88,11 @@ def test_two_process_dp_step(tmp_path):
     port = _free_port()
     procs = []
     for pid in (0, 1):
-        env = dict(
-            os.environ,
-            STPDE_PLATFORM="cpu",
+        env = subprocess_env(
             STPDE_COORDINATOR=f"localhost:{port}",
-            STPDE_NUM_PROCESSES="2",
-            STPDE_PROCESS_ID=str(pid),
+            STPDE_NUM_PROCESSES=2,
+            STPDE_PROCESS_ID=pid,
         )
-        env.pop("XLA_FLAGS", None)
         procs.append(subprocess.Popen(
             [sys.executable, "-u", str(runner)], env=env,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
@@ -166,14 +165,11 @@ def test_two_process_train_cli(tmp_path):
     ]
     procs = []
     for pid in (0, 1):
-        env = dict(
-            os.environ,
-            STPDE_PLATFORM="cpu",
+        env = subprocess_env(
             STPDE_COORDINATOR=f"localhost:{port}",
-            STPDE_NUM_PROCESSES="2",
-            STPDE_PROCESS_ID=str(pid),
+            STPDE_NUM_PROCESSES=2,
+            STPDE_PROCESS_ID=pid,
         )
-        env.pop("XLA_FLAGS", None)
         procs.append(subprocess.Popen(
             argv, env=env, stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT, text=True))

@@ -80,8 +80,8 @@ def test_trainer_falls_back_to_towers_for_smooth_activations():
                                           (1, 16, 3)),
         "point_value": jnp.zeros((1, 16, 4)),
     }
-    (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-        state.params, batch)
+    (loss, metrics), grads = jax.jit(jax.value_and_grad(
+        loss_fn, has_aux=True))(state.params, batch)
     assert np.isfinite(float(loss)) and np.isfinite(
         float(metrics["pde_loss"]))
     gnorm = jax.tree.reduce(
@@ -310,8 +310,8 @@ def test_bf16_policy_keeps_f32_physics_accumulation():
         tx = make_optimizer(cfg)
         state = init_state(jax.random.PRNGKey(0), cfg, unet, imnet, tx)
         loss_fn = make_loss_fn(cfg, unet, imnet, pde)
-        (loss, metrics), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params, batch)
+        (loss, metrics), grads = jax.jit(jax.value_and_grad(
+            loss_fn, has_aux=True))(state.params, batch)
         assert loss.dtype == jnp.float32
         assert metrics["pde_loss"].dtype == jnp.float32
         # params stay f32 => grads must be f32 (f32 master weights)
@@ -365,14 +365,17 @@ def test_bf16_policy_runs_jet_in_f32(monkeypatch):
     unet, imnet = build_models(cfg, (4, 8, 8))
     state = init_state(jax.random.PRNGKey(0), cfg, unet, imnet,
                        make_optimizer(cfg))
-    loss, _ = make_loss_fn(cfg, unet, imnet, pde)(state.params, batch)
+    # jit keeps the trace-time dtype capture (seen[...] is recorded
+    # while tracing) but compiles the execution.
+    loss, _ = jax.jit(make_loss_fn(cfg, unet, imnet, pde))(
+        state.params, batch)
     assert np.isfinite(float(loss))
     assert seen["latent_dtype"] == jnp.float32
 
     # Explicit opt-in flips the jet to bf16.
     cfg.train.pde_bf16 = True
     seen.clear()
-    make_loss_fn(cfg, unet, imnet, pde)(state.params, batch)
+    jax.jit(make_loss_fn(cfg, unet, imnet, pde))(state.params, batch)
     assert seen["latent_dtype"] == jnp.bfloat16
 
 

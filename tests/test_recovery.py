@@ -10,6 +10,7 @@ import sys
 
 import numpy as np
 
+from conftest import subprocess_env
 from space_time_pde_tpu.data import save_npz, taylor_green_fields
 from space_time_pde_tpu.train.recovery import CliffDetector
 
@@ -82,8 +83,7 @@ def test_driver_cliff_recovery(tmp_path):
         "--pde_loss_type", "l2", "--log_dir", str(log_dir),
         "--device_data", "0",
     ]
-    env = dict(os.environ, STPDE_PLATFORM="cpu")
-    env.pop("XLA_FLAGS", None)
+    env = subprocess_env()
 
     out1 = subprocess.run(
         base + ["--epochs", "1", "--lr", "1e-3"],
@@ -91,7 +91,7 @@ def test_driver_cliff_recovery(tmp_path):
     assert out1.returncode == 0, out1.stdout[-3000:] + out1.stderr[-3000:]
 
     out2 = subprocess.run(
-        base + ["--epochs", "4", "--lr", "1e6",
+        base + ["--epochs", "3", "--lr", "1e6",
                 "--recovery_lr_factor", "1e-9",
                 "--resume", str(log_dir / "checkpoints")],
         env=env, capture_output=True, text=True, timeout=540)
@@ -109,7 +109,7 @@ def test_driver_cliff_recovery(tmp_path):
     # it either spins on skipped updates (old behavior) or aborts on
     # param corruption, but no CLIFF RECOVERY line may appear
     out3 = subprocess.run(
-        base + ["--epochs", "3", "--lr", "1e6",
+        base + ["--epochs", "2", "--lr", "1e6",
                 "--cliff_recovery", "0",
                 "--resume", str(log_dir / "checkpoints")],
         env=env, capture_output=True, text=True, timeout=540)
