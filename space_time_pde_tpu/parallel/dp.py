@@ -55,6 +55,15 @@ def init_multihost(**kwargs) -> Tuple[int, int]:
         if key not in kwargs and env in os.environ:
             kwargs[key] = cast(os.environ[env])
     jax.distributed.initialize(**kwargs)
+    # Establish the cross-process collective (Gloo/DCN) context NOW,
+    # while every process is still in lockstep at startup. The first
+    # collective's context init has a hard 30 s rendezvous window; if
+    # it instead happened at the first train step, any compile-time
+    # skew between processes (e.g. one process hitting a warm
+    # compilation cache the other misses) larger than 30 s would kill
+    # the run with a spurious DEADLINE_EXCEEDED.
+    from jax.experimental import multihost_utils
+    multihost_utils.sync_global_devices("stpde:init_multihost")
     return jax.process_index(), jax.process_count()
 
 

@@ -32,18 +32,26 @@ _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _ROOT)
 
 
-def subprocess_env(**extra):
+def subprocess_env(cache_suffix: str = "", **extra):
     """Environment for tests that spawn fresh interpreters (driver CLIs,
     multihost runs): CPU platform + the SAME persistent compilation
     cache this conftest configures in-process. Without it every
     subprocess recompiles the full train/eval programs from scratch —
     measured at 60-90 s per interpreter, the dominant cost of the
-    driver-level tests."""
+    driver-level tests.
+
+    cache_suffix: give each process of a MULTI-PROCESS run its own
+    cache directory (e.g. the process id). With a shared directory one
+    process can hit entries the other misses and race ahead to the
+    first cross-process collective, whose Gloo context init times out
+    after a hard 30 s — warm/cold asymmetry larger than that kills the
+    run. Per-process caches keep the skew symmetric (and still warm
+    across suite runs)."""
     env = dict(
         os.environ,
         STPDE_PLATFORM="cpu",
         JAX_COMPILATION_CACHE_DIR=os.path.expanduser(
-            "~/.cache/stpde_xla_test"),
+            "~/.cache/stpde_xla_test" + cache_suffix),
         JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS="0.5",
     )
     env.pop("XLA_FLAGS", None)

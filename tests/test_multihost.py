@@ -89,6 +89,7 @@ def test_two_process_dp_step(tmp_path):
     procs = []
     for pid in (0, 1):
         env = subprocess_env(
+            cache_suffix=f"_mh{pid}",
             STPDE_COORDINATOR=f"localhost:{port}",
             STPDE_NUM_PROCESSES=2,
             STPDE_PROCESS_ID=pid,
@@ -166,6 +167,7 @@ def test_two_process_train_cli(tmp_path):
     procs = []
     for pid in (0, 1):
         env = subprocess_env(
+            cache_suffix=f"_mh{pid}",
             STPDE_COORDINATOR=f"localhost:{port}",
             STPDE_NUM_PROCESSES=2,
             STPDE_PROCESS_ID=pid,

@@ -90,8 +90,12 @@ def test_driver_cliff_recovery(tmp_path):
         env=env, capture_output=True, text=True, timeout=540)
     assert out1.returncode == 0, out1.stdout[-3000:] + out1.stderr[-3000:]
 
+    # epochs 4, not 3: when the cliff manifests as a non-finite STREAK
+    # (two epochs) rather than a finite explosion (one epoch), recovery
+    # fires at epoch 2 and the healthy post-recovery epoch the test
+    # asserts on needs epoch 3 to exist.
     out2 = subprocess.run(
-        base + ["--epochs", "3", "--lr", "1e6",
+        base + ["--epochs", "4", "--lr", "1e6",
                 "--recovery_lr_factor", "1e-9",
                 "--resume", str(log_dir / "checkpoints")],
         env=env, capture_output=True, text=True, timeout=540)
