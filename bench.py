@@ -24,6 +24,36 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 REFERENCE_V100_PTS_PER_SEC = 1.0e6
 
 
+def _devices_with_watchdog(timeout_s: float = 180.0):
+    """Initialize the backend with a watchdog.
+
+    The remote-TPU (axon) tunnel can wedge so hard that the first
+    ``jax.devices()`` blocks forever (observed in round 3: >3 h).
+    Without a watchdog the benchmark would then produce NO output at
+    all; with one it emits a diagnostic JSON record and exits non-zero,
+    so the capture distinguishes "framework regression" from
+    "environment down"."""
+    import concurrent.futures
+    import jax
+
+    with concurrent.futures.ThreadPoolExecutor(1) as pool:
+        fut = pool.submit(jax.devices)
+        try:
+            return fut.result(timeout=timeout_s)
+        except concurrent.futures.TimeoutError:
+            print(json.dumps({
+                "metric": "query_points_per_sec_per_chip",
+                "value": 0.0,
+                "unit": "points/s",
+                "vs_baseline": 0.0,
+                "error": "device backend initialization timed out "
+                         f"after {timeout_s:.0f}s (TPU tunnel down?) — "
+                         "not a framework failure; rerun when the "
+                         "device is reachable",
+            }), flush=True)
+            os._exit(3)
+
+
 def main():
     from space_time_pde_tpu.utils.platform import maybe_force_platform
     maybe_force_platform()          # STPDE_PLATFORM=cpu for host runs
@@ -34,7 +64,7 @@ def main():
     from space_time_pde_tpu.train import build_models
     from space_time_pde_tpu.utils.config import Config
 
-    on_tpu = jax.devices()[0].platform != "cpu"
+    on_tpu = _devices_with_watchdog()[0].platform != "cpu"
 
     cfg = Config()
     cfg.model.lat_dims = 32
