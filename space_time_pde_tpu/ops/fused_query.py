@@ -157,15 +157,18 @@ def cell_major_features(grid: jnp.ndarray) -> jnp.ndarray:
 
 def corner_tables(grid: jnp.ndarray, tile: int,
                   n_windows: int = 1) -> Tuple[jnp.ndarray, int]:
-    """[*spatial, C] node grid -> ([2^D, n_tiles*tile + (W-1)*tile, C],
-    n_tiles) per-corner cell tables for the in-kernel gather.
+    """[*spatial, C] node grid -> ([n_tiles*tile + (W-1)*tile, 2^D * C],
+    n_tiles) corner-interleaved cell table for the in-kernel gather.
 
-    Table k row c holds the latent of cell c's k-th corner node (same
-    corner order as ``corner_offsets``); rows are padded with zeros to
-    a whole number of ``tile``-row tiles plus ``n_windows - 1`` extra
-    tiles so a window anchored at the last tile never reads out of
-    bounds. Built from 2^D structured shifted slices — no random
-    access, exactly like ``cell_major_features`` but corner-major.
+    Row c holds the latents of ALL 2^D corner nodes of cell c,
+    corner-major in lanes (same corner order as ``corner_offsets``) —
+    so ONE window DMA per block brings every corner's tile (measured:
+    8 separate per-corner [tile, C] window copies per block were
+    DMA-issue-bound). Rows are padded with zeros to a whole number of
+    ``tile``-row tiles plus ``n_windows - 1`` extra tiles so a window
+    anchored at the last tile never reads out of bounds. Built from
+    2^D structured shifted slices — no random access, exactly like
+    ``cell_major_features``.
     """
     spatial = grid.shape[:-1]
     dim = len(spatial)
@@ -173,13 +176,8 @@ def corner_tables(grid: jnp.ndarray, tile: int,
     n_cells = int(np.prod([s - 1 for s in spatial]))
     n_tiles = -(-n_cells // tile)
     rows = n_tiles * tile + (n_windows - 1) * tile
-    slabs = []
-    for o in offs:
-        idx = tuple(slice(int(o[d]), spatial[d] - 1 + int(o[d]))
-                    for d in range(dim))
-        slab = grid[idx].reshape(n_cells, grid.shape[-1])
-        slabs.append(jnp.pad(slab, ((0, rows - n_cells), (0, 0))))
-    return jnp.stack(slabs, axis=0), n_tiles
+    cells = cell_major_features(grid)           # [n_cells, 2^D * C]
+    return jnp.pad(cells, ((0, rows - n_cells), (0, 0))), n_tiles
 
 
 def _corner_weight_cols(frac32, dim: int, n_corners: int):
@@ -196,7 +194,52 @@ def _corner_weight_cols(frac32, dim: int, n_corners: int):
     return cols
 
 
-def _kernel_gather(bt_ref, cell_ref, frac_ref, *refs, widths,
+def _augmented_xs(feats_cm, frac, wxa_ref, n_corners, nb, compute_dtype):
+    """Complete [R, S] pre-activation skip buffer in ONE MXU matmul.
+
+    The factored form xs = feats @ Wx_feat + frac @ Wx_rel + cb[corner]
+    is three ops plus two full [R, S] VPU passes (broadcast-add of the
+    per-corner bias, add of the two matmul outputs). Augmenting the
+    operand with the frac columns and a one-hot corner-indicator block
+    folds ALL of it into a single contraction
+
+        [feats | frac | e_corner] @ [Wx_feat; Wx_rel; corner_bias]
+
+    whose K grows C -> C+dim+2^D (32 -> 48 at nf=32) — free on the MXU
+    (any K <= 128 is one systolic pass) while the VPU passes disappear.
+    The indicator entries are exact in bf16; corner_bias rows round to
+    the compute dtype, the same rounding every other operand gets.
+
+    ``frac`` must arrive lane-padded to ``_FRAC_LANES`` columns (mosaic
+    cannot lane-concat a 3-wide vector — "unsupported shape cast"); the
+    matching ``Wx_rel`` rows are zero-padded in ``_augment_params``.
+    """
+    r = feats_cm.shape[0]
+    # Rows are CORNER-major ([k*NB + p]): the frac block tiles as a
+    # plain sublane concat and the indicator derives from row // NB.
+    frac_t = jnp.concatenate([frac] * n_corners, axis=0)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (r, n_corners), 0) // nb
+    ind = (rows == jax.lax.broadcasted_iota(
+        jnp.int32, (r, n_corners), 1)).astype(compute_dtype)
+    aug = jnp.concatenate([feats_cm, frac_t, ind], axis=1)
+    return jnp.dot(aug, wxa_ref[:],
+                   preferred_element_type=jnp.float32)      # [R, S] f32
+
+
+_FRAC_LANES = 8     # frac lane-padded width (mosaic needs 8-lane concat)
+
+
+def _augment_params(packed, compute_dtype):
+    """[Wx_feat; Wx_rel (zero-padded rows); corner_bias] stacked for
+    ``_augmented_xs``."""
+    wxr = packed["wx_rel"].astype(jnp.float32)
+    wxr = jnp.pad(wxr, ((0, _FRAC_LANES - wxr.shape[0]), (0, 0)))
+    return jnp.concatenate(
+        [packed["wx_feat"].astype(jnp.float32), wxr,
+         packed["corner_bias"]], axis=0).astype(compute_dtype)
+
+
+def _kernel_gather(bt_ref, cell_ref, frac_ref, *refs, widths, dim: int,
                    n_corners: int, n_windows: int, tile: int,
                    negative_slope: float, compute_dtype,
                    activation: str = "leaky_relu"):
@@ -215,11 +258,10 @@ def _kernel_gather(bt_ref, cell_ref, frac_ref, *refs, widths,
     blocks concatenate along sublanes with no interleaving relayout;
     the blend slices them back per corner (static sublane slices).
     """
-    wins = refs[:n_corners * n_windows]
-    (wxf_ref, wxr_ref, cb_ref, wh1_ref, wh2_ref, wh3_ref, wh4_ref,
-     w5_ref, b5_ref, out_ref) = refs[n_corners * n_windows:]
+    wins = refs[:n_windows]
+    (wxa_ref, wh1_ref, wh2_ref, wh3_ref, wh4_ref,
+     w5_ref, b5_ref, out_ref) = refs[n_windows:]
     offs = np.cumsum([0] + list(widths))
-    s_tot = int(offs[-1])
     wt = n_windows * tile
 
     from space_time_pde_tpu.models.nonlinearities import get_activation
@@ -232,36 +274,30 @@ def _kernel_gather(bt_ref, cell_ref, frac_ref, *refs, widths,
     lanes = jax.lax.broadcasted_iota(jnp.int32, (nb, wt), 1)
     onehot = (lanes == local).astype(compute_dtype)         # [NB, WT]
 
-    fks = []
-    for k in range(n_corners):
-        win = jnp.concatenate(
-            [wins[k * n_windows + j][0] for j in range(n_windows)],
-            axis=0)                                         # [WT, C]
-        fks.append(jnp.dot(onehot, win.astype(compute_dtype),
-                           preferred_element_type=jnp.float32))
+    # One corner-interleaved window per block: [WT, 2^D * C]; each
+    # corner's gather is the same one-hot against a static lane slice
+    # of the window. (A single [NB, WT] @ [WT, K*C] matmul would fill
+    # all output lanes, but its corner-major re-stacking needs a
+    # sublane concat of lane-offset slices, which mosaic cannot lower
+    # — "tpu.concatenate" with heterogeneous vpad in_layouts.)
+    win = jnp.concatenate([wins[j][:] for j in range(n_windows)],
+                          axis=0).astype(compute_dtype)     # [WT, K*C]
+    c = win.shape[-1] // n_corners
+    fks = [jnp.dot(onehot, win[:, k * c:(k + 1) * c],
+                   preferred_element_type=jnp.float32)
+           for k in range(n_corners)]
     feats_cm = jnp.concatenate(fks, axis=0).astype(compute_dtype)
 
-    frac = frac_ref[:].astype(compute_dtype)                # [NB, dim]
-    # f32 assembly of the wide skip buffer, cast once at the end —
-    # measured FASTER than bf16 assembly (packed-bf16 VPU arithmetic
-    # costs relayouts in mosaic that outweigh the 2/lane packing).
-    xs_f = jnp.dot(feats_cm, wxf_ref[:],
-                   preferred_element_type=jnp.float32)      # [R, S]
-    xs_r = jnp.dot(frac, wxr_ref[:],
-                   preferred_element_type=jnp.float32)      # [NB, S]
-    cb = cb_ref[:]                                          # [K, S] f32
-    xs_rc = jnp.concatenate(
-        [xs_r + cb[k][None] for k in range(n_corners)], axis=0)
-    xs = (xs_f + xs_rc).astype(compute_dtype)               # [R, S]
+    frac = frac_ref[:].astype(compute_dtype)        # [NB, _FRAC_LANES]
+    xs = _augmented_xs(feats_cm, frac, wxa_ref, n_corners, nb,
+                       compute_dtype)                       # [R, S] f32
 
-    h = act(xs[:, offs[0]:offs[1]].astype(jnp.float32))
+    h = act(xs[:, offs[0]:offs[1]])
     for li, wh_ref in enumerate((wh1_ref, wh2_ref, wh3_ref, wh4_ref)):
         pre = jnp.dot(h.astype(compute_dtype), wh_ref[:],
                       preferred_element_type=jnp.float32)
-        h = act(pre + xs[:, offs[li + 1]:offs[li + 2]].astype(
-            jnp.float32))
+        h = act(pre + xs[:, offs[li + 1]:offs[li + 2]])
 
-    dim = frac_ref.shape[-1]
     frac32 = frac_ref[:].astype(jnp.float32)
     cols = _corner_weight_cols(frac32, dim, n_corners)
     nf = widths[-1]
@@ -285,7 +321,7 @@ def fused_decode_blend_gather(tables, cell_flat, frac,
                               interpret: bool = False,
                               activation: str = "leaky_relu"
                               ) -> jnp.ndarray:
-    """In-kernel-gather decode: tables [2^D, rows, C]
+    """In-kernel-gather decode: tables [rows, 2^D * C]
     (``corner_tables``), cell_flat [N] int32 flat cell ids,
     frac [N, dim], base_tile [G] int32 window anchors
     (G = ceil(N/block_pts); all zeros in whole-table mode) -> [N, out].
@@ -298,6 +334,9 @@ def fused_decode_blend_gather(tables, cell_flat, frac,
     """
     n = cell_flat.shape[0]
     dim = frac.shape[-1]
+    # Lane-pad frac so every in-kernel concat piece is >= 8 lanes wide
+    # (see _augmented_xs); the pad lanes multiply into zero Wx_rel rows.
+    frac = jnp.pad(frac, ((0, 0), (0, _FRAC_LANES - dim)))
     nb = block_pts
     n_pad = (-n) % nb
     if n_pad:
@@ -308,25 +347,24 @@ def fused_decode_blend_gather(tables, cell_flat, frac,
     n_tot = n + n_pad
     g = n_tot // nb
     out_dim = packed["w5"].shape[1]
-    c = tables.shape[-1]
+    kc = tables.shape[-1]
 
-    param_names = ["wx_feat", "wx_rel", "corner_bias", "wh1", "wh2",
-                   "wh3", "wh4", "w5", "b5"]
-    param_vals = [packed[p] for p in param_names]
+    param_names = ["wh1", "wh2", "wh3", "wh4", "w5", "b5"]
+    param_vals = ([_augment_params(packed, compute_dtype)]
+                  + [packed[p] for p in param_names])
     param_specs = [
         pl.BlockSpec(p.shape, lambda i, bt, nd=p.ndim: (0,) * nd)
         for p in param_vals
     ]
     win_specs = [
-        pl.BlockSpec((1, tile, c),
-                     functools.partial(
-                         lambda i, bt, k=k, j=j: (k, bt[i] + j, 0)))
-        for k in range(n_corners) for j in range(n_windows)
+        pl.BlockSpec((tile, kc),
+                     functools.partial(lambda i, bt, j=j: (bt[i] + j, 0)))
+        for j in range(n_windows)
     ]
 
     kernel = functools.partial(
         _kernel_gather, widths=tuple(_padded_widths(nf, pad_to)),
-        n_corners=n_corners, n_windows=n_windows, tile=tile,
+        dim=dim, n_corners=n_corners, n_windows=n_windows, tile=tile,
         negative_slope=negative_slope, compute_dtype=compute_dtype,
         activation=activation)
 
@@ -340,7 +378,7 @@ def fused_decode_blend_gather(tables, cell_flat, frac,
         grid=(g,),
         in_specs=[
             pl.BlockSpec((nb, 1), lambda i, bt: (i, 0)),
-            pl.BlockSpec((nb, dim), lambda i, bt: (i, 0)),
+            pl.BlockSpec((nb, _FRAC_LANES), lambda i, bt: (i, 0)),
             *win_specs,
             *param_specs,
         ],
@@ -353,7 +391,7 @@ def fused_decode_blend_gather(tables, cell_flat, frac,
         interpret=interpret,
         compiler_params=compiler_params,
     )(base_tile, cell_flat[:, None], frac,
-      *([tables] * (n_corners * n_windows)), *param_vals)
+      *([tables] * n_windows), *param_vals)
     return out[:n]
 
 
@@ -374,6 +412,9 @@ def _kernel(feats_ref, frac_ref, wxf_ref, wxr_ref, cb_ref, wh1_ref,
     # per-corner constant pre-folded (with the layer biases) into
     # cb_ref. The frac matmul runs on NB rows instead of NB*2^D — 8x
     # fewer rows on a K-padded (K=dim) matmul. Measured 26% faster.
+    # (The gather kernel's augmented-matmul trick does not port here:
+    # rows are POINT-major ([p*K + k]) and mosaic cannot express the
+    # interleaved frac tiling without an unsupported shape cast.)
     frac = frac_ref[:].astype(compute_dtype)                # [NB, dim]
     xs_f = jnp.dot(feats, wxf_ref[:],
                    preferred_element_type=jnp.float32)      # [R, S]
@@ -571,10 +612,23 @@ def fused_query_local_implicit_grid(imnet, params, latent_grid, pts,
             # Multi-operand bitonic sort carries frac columns through
             # the sort network — measured ~2x cheaper than random-index
             # jnp.take of the [N, dim] rows afterwards (structured
-            # compare-swaps vs 12-byte random gathers).
-            sc, order, *fcols = jax.lax.sort(
-                (cell_flat, jnp.arange(n, dtype=jnp.int32),
-                 *[frac[:, d] for d in range(dim)]), num_keys=1)
+            # compare-swaps vs 12-byte random gathers). Cell id and
+            # original position pack into ONE int32 key when they fit
+            # (ties broken by position = a stable sort), dropping an
+            # operand from the network.
+            shift = max(n - 1, 1).bit_length()
+            if n_cells << shift < 2 ** 31:
+                key = ((cell_flat << shift)
+                       | jnp.arange(n, dtype=jnp.int32))
+                skey, *fcols = jax.lax.sort(
+                    (key, *[frac[:, d] for d in range(dim)]),
+                    num_keys=1)
+                sc = skey >> shift
+                order = skey & ((1 << shift) - 1)
+            else:
+                sc, order, *fcols = jax.lax.sort(
+                    (cell_flat, jnp.arange(n, dtype=jnp.int32),
+                     *[frac[:, d] for d in range(dim)]), num_keys=1)
             frac_s = jnp.stack(fcols, axis=-1)
         # Edge-pad so the final partial block's fits-check sees its
         # true max cell (zero-padding would understate the span).

@@ -23,4 +23,15 @@ def maybe_force_platform() -> None:
         jax.config.update("jax_platforms", plat)
         if plat == "cpu":
             n = int(os.environ.get("STPDE_CPU_DEVICES", "1"))
-            jax.config.update("jax_num_cpu_devices", n)
+            try:
+                jax.config.update("jax_num_cpu_devices", n)
+            except RuntimeError:
+                # Backends already initialized (e.g. a driver imported
+                # from a test process whose conftest configured jax
+                # first). Keep the existing device count rather than
+                # crashing the import — the platform choice above is
+                # what callers depend on.
+                import warnings
+                warnings.warn(
+                    "STPDE_CPU_DEVICES ignored: jax backends already "
+                    "initialized", RuntimeWarning, stacklevel=2)
