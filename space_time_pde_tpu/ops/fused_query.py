@@ -37,8 +37,10 @@ This module fixes both:
        weights sum to 1, so
        sum_k w_k (h_k @ W5 + b5) == (sum_k w_k h_k) @ W5 + b5.
 
-Measured (1x v5e, 32k points, nf=32): kernel 108 TFLOP/s (55% of bf16
-peak), full path 15M+ query points/s — see BASELINE.md.
+Measured (1x v5e, 32k points, nf=32): 25.1M query points/s end to end
+with the in-kernel gather (sorted-points kernel path 26.4M ≈ 45% of
+bf16 peak at 3.4 MFLOP/point) — see BASELINE.md for the roofline and
+the optimization history.
 
 The pure-jnp path (models/local_implicit_grid.py) remains the parity
 oracle; this kernel is the inference/eval fast path. The TRAINING hot
