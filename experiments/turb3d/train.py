@@ -85,6 +85,12 @@ def add_turb3d_args(parser: argparse.ArgumentParser) -> None:
            "devices (replicated UNet4d encoder; the remaining devices "
            "form the data axis). BASELINE.json config #5: sharded "
            "latent grid + query binning, now for the 4-D stack.")
+    p("--cliff_recovery", type=lambda s: s.lower() in ("1", "true", "yes"),
+      default=True, metavar="BOOL",
+      help="on a 2nd-order-loss explosion (BASELINE.md spike "
+           "dissection), restore the last healthy checkpoint and "
+           "continue at reduced lr instead of diverging (same "
+           "CliffDetector as experiments/rb2d/train.py)")
 
 
 def build_turb3d_models(args, lres_shape):
@@ -177,33 +183,39 @@ def main():
 
     inner = max(1, args.inner_steps)
     sampler = None
-    place_fn = sp_batch = None
+    sp_batch = None
     if n_space > 1:
-        # dp x space 2-D mesh: latent grid sharded along x with a
-        # ppermute halo, points binned per shard (dimension-agnostic
-        # make_dp_sp_batch — the 4-D wiring of BASELINE config #5).
         if n_data * n_space != ndev:
             raise SystemExit(f"--space_devices {n_space} must divide "
                              f"device count {ndev}")
-        from space_time_pde_tpu.parallel.dp_sp import (
-            make_dp_sp_batch, make_dp_sp_train_step,
-        )
-        step_fn, mesh, place_fn = make_dp_sp_train_step(
-            cfg, unet, imnet, pde_layer, tx, n_data, n_space,
-            n_inner=inner)
+        from space_time_pde_tpu.parallel.dp_sp import make_dp_sp_batch
         x_nodes = ds.lres_shape[-1]
         sp_batch = lambda b: make_dp_sp_batch(b, n_space, x_nodes)
         print(f"dp x space mesh: data={n_data}, space={n_space} (4-D "
               "sharded latent + binned queries)")
-    else:
-        if args.device_data and DeviceSampler.supported(ds):
-            sampler = DeviceSampler(ds)
-            loss_fn = sampler.wrap_loss(loss_fn)
-            print("device-data pipeline active (4-D)")
+    elif args.device_data and DeviceSampler.supported(ds):
+        sampler = DeviceSampler(ds)
+        loss_fn = sampler.wrap_loss(loss_fn)
+        print("device-data pipeline active (4-D)")
+
+    def build_step(tx):
+        """(Re)build the jitted step for the active layout; called
+        again by cliff auto-recovery with a reduced-lr optimizer."""
+        if n_space > 1:
+            # dp x space 2-D mesh: latent grid sharded along x with a
+            # ppermute halo, points binned per shard (dimension-
+            # agnostic make_dp_sp_batch — BASELINE config #5 in 4-D).
+            from space_time_pde_tpu.parallel.dp_sp import \
+                make_dp_sp_train_step
+            step_fn, _, place_fn = make_dp_sp_train_step(
+                cfg, unet, imnet, pde_layer, tx, n_data, n_space,
+                n_inner=inner)
+            return step_fn, place_fn
         if inner > 1:
-            step_fn = make_multi_step(loss_fn, tx, inner)
-        else:
-            step_fn = make_train_step(loss_fn, tx)
+            return make_multi_step(loss_fn, tx, inner), None
+        return make_train_step(loss_fn, tx), None
+
+    step_fn, place_fn = build_step(tx)
     # The jnp 16-corner query SEGFAULTS this environment's XLA:TPU
     # compiler (bisected: UNet4d and the fused 4-D kernels compile
     # fine; the gather/blend program does not). On TPU, eval goes
@@ -267,6 +279,9 @@ def main():
     prefetcher = BatchPrefetcher(_make, depth=4)
 
     best_eval = float("inf")
+    lr_scale = 1.0
+    from space_time_pde_tpu.train.recovery import CliffDetector
+    cliff = CliffDetector() if args.cliff_recovery else None
     for epoch in range(start_epoch, args.epochs):
         t0 = time.time()
         for _ in range(max(1, steps_per_epoch // inner)):
@@ -281,6 +296,7 @@ def main():
             state, metrics = step_fn(state, batch)
         jax.block_until_ready(state.params)
         metrics = {k: float(v) for k, v in metrics.items()}
+        recover_reason = None
         if not all(np.isfinite(v) for v in metrics.values()):
             bad = sorted(k for k, v in metrics.items()
                          if not np.isfinite(v))
@@ -293,9 +309,28 @@ def main():
                 print(f"epoch {epoch}: non-finite {bad} — update(s) "
                       "skipped, params healthy, continuing")
             else:
+                recover_reason = f"non-finite params ({bad})"
+        if recover_reason is None and cliff is not None:
+            recover_reason = cliff.update(metrics)
+        if recover_reason is not None:
+            # Cliff auto-recovery (same contract as rb2d train.py /
+            # BASELINE.md spike dissection): restore the last healthy
+            # checkpoint, continue at reduced lr.
+            if cliff is None or mngr.latest_step() is None:
                 raise SystemExit(
-                    f"non-finite params at epoch {epoch} ({bad}) — "
-                    "lower --lr / --alpha_pde")
+                    f"{recover_reason} at epoch {epoch} and no healthy "
+                    "checkpoint to restore — lower --lr / --alpha_pde")
+            lr_scale *= cfg.train.recovery_lr_factor
+            tx = make_optimizer(cfg, steps_per_epoch, lr_scale=lr_scale)
+            step_fn, new_place_fn = build_step(tx)
+            if new_place_fn is not None:
+                place_fn = new_place_fn
+            state, _ = mngr.restore(state)
+            cliff.reset()
+            print(f"epoch {epoch}: CLIFF RECOVERY — {recover_reason}; "
+                  f"restored step {int(state.step)}, continuing with "
+                  f"lr x{lr_scale:g}", flush=True)
+            continue
         sec_per_step = (time.time() - t0) / steps_per_epoch
         metrics["sec_per_step"] = sec_per_step
         logger.log(int(state.step), metrics, prefix="train/")
