@@ -91,6 +91,8 @@ def add_turb3d_args(parser: argparse.ArgumentParser) -> None:
            "dissection), restore the last healthy checkpoint and "
            "continue at reduced lr instead of diverging (same "
            "CliffDetector as experiments/rb2d/train.py)")
+    p("--recovery_lr_factor", type=float, default=0.5,
+      help="lr multiplier applied on each cliff recovery")
 
 
 def build_turb3d_models(args, lres_shape):
@@ -121,6 +123,8 @@ def make_config(args) -> Config:
     cfg.train.pde_derivs = args.pde_derivs
     cfg.train.pde_loss_type = args.pde_loss_type
     cfg.train.pde_bf16 = args.pde_bf16
+    cfg.train.cliff_recovery = args.cliff_recovery
+    cfg.train.recovery_lr_factor = args.recovery_lr_factor
     cfg.physics.pde_system = "ns3d"
     cfg.physics.viscosity = args.viscosity
     cfg.data.data_folder = args.data_folder

@@ -118,3 +118,48 @@ def test_driver_cliff_recovery(tmp_path):
                 "--resume", str(log_dir / "checkpoints")],
         env=env, capture_output=True, text=True, timeout=540)
     assert "CLIFF RECOVERY" not in out3.stdout, out3.stdout[-3000:]
+
+
+def test_turb3d_driver_cliff_recovery(tmp_path):
+    """Same contract as the rb2d driver test, for the 4-D driver
+    (which diverged unrecoverably before the wiring — the measured
+    lr-1e-2/l2 multi-realization failure in BASELINE.md round-3
+    turb3d section): phase 1 banks a healthy checkpoint, phase 2's
+    absurd lr must trigger CLIFF RECOVERY and finish healthy."""
+    from space_time_pde_tpu.data import abc_flow_fields
+
+    save_npz(str(tmp_path / "abc.npz"),
+             abc_flow_fields(nt=8, nz=8, ny=8, nx=8, dt=0.05))
+    log_dir = tmp_path / "log"
+    base = [
+        sys.executable, "-u",
+        os.path.join(_ROOT, "experiments", "turb3d", "train.py"),
+        "--data_folder", str(tmp_path),
+        "--train_data", "abc.npz", "--eval_data", "abc.npz",
+        "--nt", "4", "--nz", "8", "--ny", "8", "--nx", "8",
+        "--downsamp_t", "2", "--downsamp_xyz", "2",
+        "--n_samp_pts_per_crop", "16",
+        "--lat_dims", "4", "--unet_nf", "4", "--imnet_nf", "2",
+        "--pseudo_epoch_size", "8", "--batch_size_per_gpu", "2",
+        "--alpha_pde", "0.1", "--pde_loss_type", "l2",
+        "--log_dir", str(log_dir), "--device_data", "0",
+    ]
+    env = subprocess_env()
+
+    out1 = subprocess.run(
+        base + ["--epochs", "1", "--lr", "1e-3"],
+        env=env, capture_output=True, text=True, timeout=540)
+    assert out1.returncode == 0, out1.stdout[-3000:] + out1.stderr[-3000:]
+
+    out2 = subprocess.run(
+        base + ["--epochs", "4", "--lr", "1e6",
+                "--recovery_lr_factor", "1e-9",
+                "--resume", str(log_dir / "checkpoints")],
+        env=env, capture_output=True, text=True, timeout=540)
+    assert out2.returncode == 0, out2.stdout[-3000:] + out2.stderr[-3000:]
+    assert "CLIFF RECOVERY" in out2.stdout, out2.stdout[-3000:]
+    post = out2.stdout.split("CLIFF RECOVERY")[-1]
+    epoch_lines = [l for l in post.splitlines() if l.startswith("epoch ")]
+    assert epoch_lines, post[-2000:]
+    assert all("nan" not in l and "inf" not in l for l in epoch_lines), \
+        epoch_lines
