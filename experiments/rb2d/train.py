@@ -137,6 +137,8 @@ def main():
                 "--velonly predicts (u, w) only; the PDE residuals need "
                 "all 4 fields — set --alpha_pde 0")
 
+    from space_time_pde_tpu.data.splits import check_train_files
+    check_train_files(cfg.data.train_data)
     ds = RB2DataLoader(
         data_folder=cfg.data.data_folder,
         data_filename=cfg.data.train_data,

@@ -161,6 +161,8 @@ def main():
             n_samp_pts_per_crop=args.n_samp_pts_per_crop,
             downsamp_t=args.downsamp_t, downsamp_xyz=args.downsamp_xyz)
 
+    from space_time_pde_tpu.data.splits import check_train_files
+    check_train_files(args.train_data)
     ds = make_ds(args.train_data)
     eval_ds = make_ds(args.eval_data)
     eval_ds.channel_mean = ds.channel_mean

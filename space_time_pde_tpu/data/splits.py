@@ -34,9 +34,29 @@ from dataclasses import dataclass
 import numpy as np
 
 __all__ = ["SplitSpec", "window_starts", "val_windows", "test_windows",
-           "CANONICAL_SEEDS"]
+           "check_train_files", "CANONICAL_SEEDS"]
 
 CANONICAL_SEEDS = {"train": 42, "val": 7, "test": 123}
+
+
+def check_train_files(train_data: str) -> None:
+    """Warn if a canonical val/test file is in the training list.
+
+    The multi-simulation ``--train_data a.npz,b.npz,...`` convention
+    makes it easy to sweep a seed range that accidentally contains a
+    held-out canonical seed (e.g. 123 lies inside 100..199), which
+    silently voids the split protocol. Matches on the ``_s{seed}.npz``
+    suffix so it covers both the rb2d and turb3d file conventions.
+    """
+    names = [s.strip() for s in train_data.split(",") if s.strip()]
+    held_out = {f"_s{CANONICAL_SEEDS[k]}.npz": k for k in ("val", "test")}
+    for name in names:
+        for suffix, split in held_out.items():
+            if name.endswith(suffix):
+                warnings.warn(
+                    f"--train_data contains {name}, the canonical "
+                    f"{split} simulation (seed {CANONICAL_SEEDS[split]})"
+                    " — held-out numbers reported against it are void")
 
 
 def window_starts(n_frames: int, nt: int, n_windows: int,

@@ -50,3 +50,23 @@ def test_canonical_split_filenames():
     assert s.val_data == "rb2d_ra1e6_s7.npz"
     assert s.test_data == "rb2d_ra1e6_s123.npz"
     assert len({s.train_data, s.val_data, s.test_data}) == 3
+
+
+def test_check_train_files_flags_heldout_seeds():
+    # seed 123 (test) hides inside a 100..199 sweep; 7 (val) likewise.
+    bad = ",".join(f"beltrami_s{s}.npz" for s in (42, 122, 123, 124))
+    with pytest.warns(UserWarning, match="canonical test"):
+        splits.check_train_files(bad)
+    with pytest.warns(UserWarning, match="canonical val"):
+        splits.check_train_files("rb2d_ra1e6_s42.npz,rb2d_ra1e6_s7.npz")
+
+
+def test_check_train_files_clean_list_is_silent():
+    import warnings as w
+    ok = ",".join(f"beltrami_s{s}.npz"
+                  for s in [42] + [s for s in range(100, 200) if s != 123])
+    with w.catch_warnings():
+        w.simplefilter("error")
+        splits.check_train_files(ok)
+        # substring seeds (s1077 etc.) must not false-positive
+        splits.check_train_files("rb2d_ra1e6_s1077.npz,x_s1230.npz")
