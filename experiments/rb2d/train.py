@@ -80,6 +80,11 @@ def main():
              "selection use val; report test numbers via "
              "evaluation.py --split test")
     parser.add_argument(
+        "--allow_split_leak", action="store_true",
+        help="downgrade the held-out-seed-in-training-list error "
+             "(data/splits.py::check_train_files) to a warning, for "
+             "intentional train-on-everything runs")
+    parser.add_argument(
         "--device_data", type=lambda s: s.lower() in ("1", "true", "yes"),
         default=True, metavar="BOOL",
         help="assemble batches ON-DEVICE inside the jitted step (whole "
@@ -138,7 +143,8 @@ def main():
                 "all 4 fields — set --alpha_pde 0")
 
     from space_time_pde_tpu.data.splits import check_train_files
-    check_train_files(cfg.data.train_data)
+    check_train_files(cfg.data.train_data, eval_data=cfg.data.eval_data,
+                      allow_leak=args.allow_split_leak or None)
     ds = RB2DataLoader(
         data_folder=cfg.data.data_folder,
         data_filename=cfg.data.train_data,

@@ -37,7 +37,7 @@ from train import build_turb3d_models, init_state4d  # noqa: E402
 
 
 def dense_query4d(unet, imnet, params, lres, out_shape, chunk=32768,
-                  fused=None):
+                  fused=None, interpret=False):
     """Encode once, decode a [T,Z,Y,X] lattice in chunks -> [...,4]."""
     latent = jax.jit(
         lambda p, x: unet.apply({"params": p}, x))(params["unet"],
@@ -52,8 +52,13 @@ def dense_query4d(unet, imnet, params, lres, out_shape, chunk=32768,
 
         @jax.jit
         def query_chunk(p, pts):
+            # Dense row-major lattice chunks satisfy the points_sorted
+            # contract (globally non-decreasing flat cell ids); on
+            # small 4-D grids the whole-table path ignores it, on
+            # >2048-cell grids it skips the in-kernel sort + unsort.
             return fused_query_local_implicit_grid(
-                imnet, p, latent, pts, block_pts=128, pad_to=0)
+                imnet, p, latent, pts, block_pts=128, pad_to=0,
+                points_sorted=True, interpret=interpret)
     else:
         @jax.jit
         def query_chunk(p, pts):
@@ -65,7 +70,8 @@ def dense_query4d(unet, imnet, params, lres, out_shape, chunk=32768,
     pts = np.stack(mesh, -1).reshape(-1, 4)
     n = pts.shape[0]
     pad = (-n) % chunk
-    pts = np.pad(pts, ((0, pad), (0, 0)))
+    # Edge-repeat padding keeps the tail chunk sorted in flat cell id.
+    pts = np.pad(pts, ((0, pad), (0, 0)), mode="edge")
     outs = []
     for i in range(0, pts.shape[0], chunk):
         out = query_chunk(params["imnet"],

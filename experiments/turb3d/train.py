@@ -47,6 +47,9 @@ def add_turb3d_args(parser: argparse.ArgumentParser) -> None:
     p("--data_folder", type=str, default="./data")
     p("--train_data", type=str, default="abc_flow.npz")
     p("--eval_data", type=str, default="abc_flow.npz")
+    p("--allow_split_leak", action="store_true",
+      help="downgrade the held-out-seed-in-training-list error "
+           "(data/splits.py::check_train_files) to a warning")
     p("--nt", type=int, default=8)
     p("--nz", type=int, default=16)
     p("--ny", type=int, default=16)
@@ -85,6 +88,12 @@ def add_turb3d_args(parser: argparse.ArgumentParser) -> None:
            "devices (replicated UNet4d encoder; the remaining devices "
            "form the data axis). BASELINE.json config #5: sharded "
            "latent grid + query binning, now for the 4-D stack.")
+    p("--sharded_encoder", action="store_true",
+      help="with --space_devices > 1: use the halo-conv ShardedUNet4d "
+           "so neither the 4-D input grid nor the latent grid is ever "
+           "materialized whole on one device (grids beyond one chip's "
+           "HBM); same parameter pytree as UNet4d, so checkpoints are "
+           "layout-interchangeable")
     p("--cliff_recovery", type=lambda s: s.lower() in ("1", "true", "yes"),
       default=True, metavar="BOOL",
       help="on a 2nd-order-loss explosion (BASELINE.md spike "
@@ -162,13 +171,29 @@ def main():
             downsamp_t=args.downsamp_t, downsamp_xyz=args.downsamp_xyz)
 
     from space_time_pde_tpu.data.splits import check_train_files
-    check_train_files(args.train_data)
+    check_train_files(args.train_data, eval_data=args.eval_data,
+                      allow_leak=args.allow_split_leak or None)
     ds = make_ds(args.train_data)
     eval_ds = make_ds(args.eval_data)
     eval_ds.channel_mean = ds.channel_mean
     eval_ds.channel_std = ds.channel_std
 
     unet, imnet = build_turb3d_models(args, ds.lres_shape)
+    plain_unet = unet
+    if args.sharded_encoder:
+        if args.space_devices < 2:
+            raise SystemExit("--sharded_encoder requires "
+                             "--space_devices > 1")
+        from space_time_pde_tpu.parallel.sharded_unet4d import \
+            ShardedUNet4d
+        # Identical parameter pytree to UNet4d (tested), so init, eval
+        # and checkpoints all go through the plain module; only the
+        # training step's apply uses the halo-conv layout.
+        unet = ShardedUNet4d(
+            in_features=4, out_features=args.lat_dims,
+            igres=tuple(ds.lres_shape), nf=args.unet_nf,
+            mf=args.unet_mf,
+            dtype=jnp.bfloat16 if args.use_bf16 else jnp.float32)
     et, ez, ey, ex = ds.coord_extents
     pde_layer = get_ns3d_pde_layer(
         mean=ds.channel_mean, std=ds.channel_std,
@@ -183,9 +208,12 @@ def main():
     batch_per_step = args.batch_size_per_gpu * n_data
     steps_per_epoch = max(1, args.pseudo_epoch_size // batch_per_step)
     tx = make_optimizer(cfg, steps_per_epoch)
-    state = init_state4d(jax.random.PRNGKey(args.seed), args, unet,
+    # State always initializes through the plain UNet4d — ShardedUNet4d
+    # has the identical parameter pytree.
+    state = init_state4d(jax.random.PRNGKey(args.seed), args, plain_unet,
                          imnet, tx, ds.lres_shape)
-    loss_fn = make_loss_fn(cfg, unet, imnet, pde_layer)
+    loss_fn = (None if args.sharded_encoder  # dp_sp builds its own loss
+               else make_loss_fn(cfg, plain_unet, imnet, pde_layer))
 
     inner = max(1, args.inner_steps)
     sampler = None
@@ -215,7 +243,7 @@ def main():
                 make_dp_sp_train_step
             step_fn, _, place_fn = make_dp_sp_train_step(
                 cfg, unet, imnet, pde_layer, tx, n_data, n_space,
-                n_inner=inner)
+                sharded_encoder=args.sharded_encoder, n_inner=inner)
             return step_fn, place_fn
         if inner > 1:
             return make_multi_step(loss_fn, tx, inner), None
@@ -235,7 +263,7 @@ def main():
         imnet_query_fn = (
             lambda p, latent, c: fused_query_local_implicit_grid(
                 imnet, p, latent, c, block_pts=64))
-    eval_fn = make_eval_fn(cfg, unet, imnet,
+    eval_fn = make_eval_fn(cfg, plain_unet, imnet,
                            imnet_query_fn=imnet_query_fn)
 
     ckpt_dir = os.path.join(args.log_dir, "checkpoints")

@@ -154,7 +154,11 @@ def make_dp_sp_train_step(cfg, unet, imnet, pde_layer,
     mesh = Mesh(devs, ("data", "space"))
     alpha = cfg.train.alpha_pde
     axes = ("data", "space")
-    lres_spec = (P("data", None, None, "space", None)
+    # Sharded encoder: lres [B, *igres, C] arrives sharded on its LAST
+    # spatial axis (x) — rank-generic so ShardedUNet3d (igres 3-tuple)
+    # and ShardedUNet4d (4-tuple) both work.
+    lres_spec = (P("data", *([None] * (len(unet.igres) - 1)),
+                   "space", None)
                  if sharded_encoder else P("data"))
     use_jet = (pde_layer is not None and alpha > 0
                and getattr(cfg.train, "pde_derivs", "jet") == "jet"

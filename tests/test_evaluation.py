@@ -38,3 +38,42 @@ def test_dense_query_matches_direct_query():
         lambda v: imnet.apply({"params": params["imnet"]}, v), latent, pts)
     np.testing.assert_allclose(
         pred.reshape(-1, 4), np.asarray(want[0]), rtol=1e-5, atol=1e-5)
+
+
+def test_dense_query_fused_windowed_matches_jnp():
+    """The ACTUAL eval-CLI decode path (fused kernel, points_sorted
+    lattice chunks, edge-repeat chunk padding) on a latent grid large
+    enough (6615 cells > 2048) to take the windowed in-kernel-gather
+    dispatch — interpret mode on CPU, vs the jnp oracle."""
+    dense_query = load_driver("rb2d", "evaluation").dense_query
+    from space_time_pde_tpu.models import query_local_implicit_grid
+
+    igres = (8, 16, 64)                     # 7*15*63 = 6615 cells
+    unet = UNet3d(in_features=4, out_features=8, igres=igres, nf=8)
+    imnet = ImNet(dim=3, in_features=8, out_features=4, nf=2)
+    key = jax.random.PRNGKey(1)
+    rng = np.random.RandomState(1)
+    lres = jnp.asarray(rng.randn(*igres, 4).astype(np.float32))
+    params = {
+        "unet": unet.init(key, lres[None])["params"],
+        "imnet": imnet.init(key, jnp.zeros((1, 11)))["params"],
+    }
+
+    # Hi-res lattice with X == the eval block size (512): one x-row per
+    # kernel block, the production chunk geometry; odd T*Z so the last
+    # chunk is partial (edge-repeat padding in play).
+    out_shape = (3, 5, 512)
+    pred = dense_query(unet, imnet, params, lres, out_shape,
+                       chunk=2048, fused=True, interpret=True)
+    assert pred.shape == (*out_shape, 4)
+
+    latent = unet.apply({"params": params["unet"]}, lres[None])
+    axes = [np.linspace(0, 1, n, dtype=np.float32) for n in out_shape]
+    TT, ZZ, XX = np.meshgrid(*axes, indexing="ij")
+    pts = jnp.asarray(np.stack([TT, ZZ, XX], -1).reshape(1, -1, 3))
+    want = query_local_implicit_grid(
+        lambda v: imnet.apply({"params": params["imnet"]}, v), latent, pts)
+    # bf16 compute in the fused eval path: tolerance matches the
+    # kernel's bf16 operand rounding.
+    np.testing.assert_allclose(
+        pred.reshape(-1, 4), np.asarray(want[0]), rtol=0.05, atol=0.02)

@@ -139,8 +139,9 @@ def test_two_process_dp_step(tmp_path):
 def test_two_process_train_cli(tmp_path):
     """The ACTUAL experiments/rb2d/train.py --multihost CLI, two
     processes on localhost gRPC: tiny shapes, 2 epochs, shared
-    --log_dir with a coordinated orbax save. Regression-only
-    (alpha_pde 0) keeps the compile small enough for CI."""
+    --log_dir with a coordinated orbax save. PDE loss ON
+    (alpha_pde 0.05): the configuration users actually run multihost —
+    the 2nd-order jet residual path — crosses jax.distributed here."""
     import numpy as np
 
     from space_time_pde_tpu.data import save_npz, taylor_green_fields
@@ -160,7 +161,8 @@ def test_two_process_train_cli(tmp_path):
         "--n_samp_pts_per_crop", "16",
         "--lat_dims", "4", "--unet_nf", "4", "--imnet_nf", "2",
         "--epochs", "2", "--pseudo_epoch_size", "4",
-        "--batch_size_per_gpu", "2", "--alpha_pde", "0",
+        "--batch_size_per_gpu", "2", "--alpha_pde", "0.05",
+        "--rayleigh", "100",
         "--lr", "1e-3", "--log_dir", str(log_dir),
         "--device_data", "0",
     ]

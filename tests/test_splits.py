@@ -54,11 +54,40 @@ def test_canonical_split_filenames():
 
 def test_check_train_files_flags_heldout_seeds():
     # seed 123 (test) hides inside a 100..199 sweep; 7 (val) likewise.
+    # Leakage is a hard error by default (a long run must not proceed
+    # past a voided split protocol)...
     bad = ",".join(f"beltrami_s{s}.npz" for s in (42, 122, 123, 124))
-    with pytest.warns(UserWarning, match="canonical test"):
+    with pytest.raises(SystemExit, match="canonical test"):
         splits.check_train_files(bad)
-    with pytest.warns(UserWarning, match="canonical val"):
+    with pytest.raises(SystemExit, match="canonical val"):
         splits.check_train_files("rb2d_ra1e6_s42.npz,rb2d_ra1e6_s7.npz")
+    # ...and downgrades to a warning with the explicit opt-out (flag or
+    # STPDE_ALLOW_SPLIT_LEAK=1).
+    with pytest.warns(UserWarning, match="canonical test"):
+        splits.check_train_files(bad, allow_leak=True)
+    import os
+    os.environ["STPDE_ALLOW_SPLIT_LEAK"] = "1"
+    try:
+        with pytest.warns(UserWarning, match="canonical test"):
+            splits.check_train_files(bad)
+    finally:
+        del os.environ["STPDE_ALLOW_SPLIT_LEAK"]
+
+
+def test_check_train_files_flags_eval_overlap():
+    # Direct train/eval overlap (non-canonical filenames, dir-qualified
+    # paths) warns — the reference-quickstart protocol is legal but the
+    # numbers measure training fit, so say so.
+    with pytest.warns(UserWarning, match="also an eval"):
+        splits.check_train_files(
+            "beltrami_s150.npz,beltrami_s151.npz",
+            eval_data="elsewhere/beltrami_s150.npz")
+    # No overlap, no canonical seeds: silent.
+    import warnings as w
+    with w.catch_warnings():
+        w.simplefilter("error")
+        splits.check_train_files("a_s1.npz,b_s2.npz",
+                                 eval_data="c_s3.npz")
 
 
 def test_check_train_files_clean_list_is_silent():
