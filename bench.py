@@ -80,7 +80,17 @@ def main():
     key = jax.random.PRNGKey(0)
     latent = jax.random.normal(
         key, (1, *lres_shape, cfg.model.lat_dims), jnp.float32)
-    coords = jax.random.uniform(key, (1, n_pts, 3), jnp.float32)
+    # Headline points = a dense row-major (t, z, x) lattice chunk with
+    # one 512-wide x-row per kernel block — EXACTLY what the eval CLI's
+    # dense_query decodes (experiments/rb2d/evaluation.py), satisfying
+    # the kernel's points_sorted contract so the in-kernel sort+unsort
+    # is skipped. Random (unsorted) points are reported as a detail.
+    import numpy as np
+    axes = [np.linspace(0, 1, n, dtype=np.float32) for n in (4, 16, 512)]
+    tt, zz, xx = np.meshgrid(*axes, indexing="ij")
+    coords = jnp.asarray(
+        np.stack([tt, zz, xx], -1).reshape(1, n_pts, 3))
+    coords_rand = jax.random.uniform(key, (1, n_pts, 3), jnp.float32)
     params = imnet.init(
         key, jnp.zeros((1, 3 + cfg.model.lat_dims)))["params"]
 
@@ -91,11 +101,17 @@ def main():
         )
         query_fn = (lambda p, latent, pts:
                     fused_query_local_implicit_grid(
-                        imnet, p, latent, pts, block_pts=512, pad_to=0))
-        kernel = "pallas-fused"
+                        imnet, p, latent, pts, block_pts=512, pad_to=0,
+                        points_sorted=True))
+        query_fn_rand = (lambda p, latent, pts:
+                         fused_query_local_implicit_grid(
+                             imnet, p, latent, pts, block_pts=512,
+                             pad_to=0))
+        kernel = "pallas-fused (points_sorted eval path)"
     else:
         query_fn = (lambda p, latent, pts: query_local_implicit_grid(
             lambda v: imnet.apply({"params": p}, v), latent, pts))
+        query_fn_rand = query_fn
         kernel = "jnp"
 
     # Chain K query steps on-device inside one jit (lax.scan) and fetch
@@ -107,14 +123,22 @@ def main():
     # artifact on a ~1.5 ms step; calibrated with an empty-body scan).
     K = 500
 
-    @jax.jit
-    def run_k(params, latent, coords):
-        def body(carry, i):
-            c = jnp.clip(coords + carry * 1e-6, 0.0, 1.0)
-            out = query_fn(params, latent, c)
-            return out.mean(), None
-        carry, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(K))
-        return carry
+    def make_run_k(qfn):
+        @jax.jit
+        def run_k(params, latent, coords):
+            def body(carry, i):
+                # Uniform epsilon shift: defeats loop-invariant hoisting
+                # while preserving the lattice's sorted flat-cell order.
+                c = jnp.clip(coords + carry * 1e-6, 0.0, 1.0)
+                out = qfn(params, latent, c)
+                return out.mean(), None
+            carry, _ = jax.lax.scan(body, jnp.float32(0.0),
+                                    jnp.arange(K))
+            return carry
+        return run_k
+
+    run_k = make_run_k(query_fn)
+    run_k_rand = make_run_k(query_fn_rand)
 
     # float() host-fetches the scalar — the only reliable sync point on
     # the experimental remote plugin (block_until_ready returns early).
@@ -134,6 +158,19 @@ def main():
     sec = min(secs)
     pts_per_sec = n_pts / sec
 
+    # Random (unsorted) points through the same kernel: pays the
+    # in-kernel bitonic sort + unsort — the general-case number.
+    rand_pts_per_sec = None
+    if query_fn_rand is not query_fn:
+        out = float(run_k_rand(params, latent, coords_rand))
+        assert jnp.isfinite(out), "non-finite random-points output"
+        rsecs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(run_k_rand(params, latent, coords_rand))
+            rsecs.append((time.perf_counter() - t0) / K)
+        rand_pts_per_sec = round(n_pts / min(rsecs), 1)
+
     train = _bench_train_step(on_tpu) if on_tpu else None
 
     print(json.dumps({
@@ -150,6 +187,7 @@ def main():
             "imnet_nf": cfg.model.imnet_nf,
             "sec_per_step": sec,
             "timing": "best of %d x %d chained steps" % (iters, K),
+            "random_points_per_sec": rand_pts_per_sec,
             "train": train,
         },
     }))

@@ -19,6 +19,8 @@ import socket
 import subprocess
 import sys
 
+import pytest
+
 from conftest import subprocess_env
 
 _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -136,8 +138,10 @@ def test_two_process_dp_step(tmp_path):
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_two_process_train_cli(tmp_path):
-    """The ACTUAL experiments/rb2d/train.py --multihost CLI, two
+    """[slow, opt-in: pytest -m slow] The ACTUAL
+    experiments/rb2d/train.py --multihost CLI, two
     processes on localhost gRPC: tiny shapes, 2 epochs, shared
     --log_dir with a coordinated orbax save. PDE loss ON
     (alpha_pde 0.05): the configuration users actually run multihost —

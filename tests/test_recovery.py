@@ -9,6 +9,7 @@ import subprocess
 import sys
 
 import numpy as np
+import pytest
 
 from conftest import subprocess_env
 from space_time_pde_tpu.data import save_npz, taylor_green_fields
@@ -120,8 +121,11 @@ def test_driver_cliff_recovery(tmp_path):
     assert "CLIFF RECOVERY" not in out3.stdout, out3.stdout[-3000:]
 
 
+@pytest.mark.slow
 def test_turb3d_driver_cliff_recovery(tmp_path):
-    """Same contract as the rb2d driver test, for the 4-D driver
+    """[slow, opt-in: pytest -m slow — the recovery wiring is shared
+    with rb2d, whose driver test stays in the default run]
+    Same contract as the rb2d driver test, for the 4-D driver
     (which diverged unrecoverably before the wiring — the measured
     lr-1e-2/l2 multi-realization failure in BASELINE.md round-3
     turb3d section): phase 1 banks a healthy checkpoint, phase 2's
