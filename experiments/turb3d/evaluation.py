@@ -155,6 +155,16 @@ def main():
     # Rebuild the encoder for this window's lres shape if it differs
     # from the training crop (igres is a static UNet4d attribute).
     if tuple(lres_sizes) != tuple(ds.lres_shape):
+        print(
+            "WARNING: eval-window latent grid "
+            f"{tuple(lres_sizes)} != training igres "
+            f"{tuple(ds.lres_shape)}. Conv encoders do NOT reliably "
+            "shape-generalize: GroupNorm statistics shift with grid "
+            "size (a 16^3-crop-trained UNet4d produced 50x-inflated "
+            "latents on the 2x grid — rel-L2 18 vs 0.007 in-shape). "
+            "For reported numbers train with crops spanning the full "
+            "spatial domain (--nz/--ny/--nx = data size) so the "
+            "igres here matches training.", flush=True)
         unet = UNet4d(in_features=4, out_features=a.lat_dims,
                       igres=tuple(lres_sizes), nf=a.unet_nf,
                       mf=a.unet_mf)
