@@ -176,14 +176,22 @@ def main():
         t0s = np.unique(np.linspace(args.eval_t0, max_t0, n_windows)
                         .astype(int))
 
+    import time
+
     all_rel, all_per_ch = [], []
     pred = gt = None
     for wi, t0 in enumerate(t0s):
         lres = (lres0 if t0 == args.eval_t0
                 else jnp.asarray(ds.full_lres_sequence(int(t0), eval_nt)))
+        tq0 = time.perf_counter()
         pred_n = dense_query(unet, imnet, state.params, lres,
                              (T_hi, Z_hi, X_hi), chunk=args.query_chunk,
                              batch_stats=state.batch_stats)
+        tq = time.perf_counter() - tq0
+        n_q = T_hi * Z_hi * X_hi
+        print(f"  decoded {n_q} pts in {tq:.2f}s = {n_q / tq / 1e6:.2f}M "
+              f"pts/s{' (includes compile)' if wi == 0 else ''}",
+              flush=True)
         pred_w = pred_n * ds.channel_std + ds.channel_mean    # denormalize
         gt_w = ds.data[t0:t0 + eval_nt]
         rel = np.linalg.norm(pred_w - gt_w) / (np.linalg.norm(gt_w)

@@ -174,16 +174,24 @@ def main():
     lat_pts = np.stack(np.meshgrid(*axes, indexing="ij"),
                        -1).reshape(-1, 4)
 
+    import time
+
     rels, per_chs, first_pred = [], [], None
-    for t0 in t0s:
+    for wi, t0 in enumerate(t0s):
         window = ds.data[t0:t0 + a.nt]            # [nt, Z, Y, X, 4]
         interp = RegularGridInterpolator(
             [np.arange(s) for s in hi_shape], window)
         lres = interp(lat_pts).reshape(*lres_sizes, -1).astype(np.float32)
         lres = (lres - ds.channel_mean) / ds.channel_std
+        tq0 = time.perf_counter()
         pred_n = dense_query4d(unet, imnet, state.params,
                                jnp.asarray(lres), hi_shape,
                                chunk=args.query_chunk)
+        tq = time.perf_counter() - tq0
+        n_q = int(np.prod(hi_shape))
+        print(f"  decoded {n_q} pts in {tq:.2f}s = {n_q / tq / 1e6:.2f}M "
+              f"pts/s{' (includes compile)' if wi == 0 else ''}",
+              flush=True)
         pred = pred_n * ds.channel_std + ds.channel_mean
         gt = window
         rel = float(np.linalg.norm(pred - gt) /
