@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from space_time_pde_tpu.data import RB2DataLoader
-from space_time_pde_tpu.models import query_local_implicit_grid
+from space_time_pde_tpu.inference import make_dense_decoder
 from space_time_pde_tpu.train import build_models, init_state
 from space_time_pde_tpu.train.trainer import make_optimizer
 from space_time_pde_tpu.utils.checkpoint import CheckpointManager
@@ -40,55 +40,13 @@ def dense_query(unet, imnet, params, lres, out_shape, chunk=65536,
                 fused=None, batch_stats=None, interpret=False):
     """Encode once, decode a [T,Z,X] lattice in chunks -> [T,Z,X,4].
 
-    fused=None auto-selects the Pallas fused kernel on TPU (the
-    north-star throughput path) and the jnp path elsewhere.
-    batch_stats: running stats for norm="batch" checkpoints.
-    interpret: run the fused kernel in Pallas interpret mode (CI on
-    CPU exercises the exact eval decode path).
+    One-shot convenience over :func:`make_dense_decoder`; for repeated
+    windows build the decoder once (avoids per-call recompiles).
     """
-    uvars = {"params": params["unet"]}
-    if batch_stats is not None:
-        uvars["batch_stats"] = batch_stats
-    latent = jax.jit(lambda v, x: unet.apply(v, x))(uvars, lres[None])
-    if fused is None:
-        fused = jax.devices()[0].platform != "cpu"
-
-    if fused:
-        from space_time_pde_tpu.ops.fused_query import (
-            fused_query_local_implicit_grid,
-        )
-
-        @jax.jit
-        def query_chunk(p, pts):
-            # Dense row-major lattice chunks are globally non-decreasing
-            # in flat cell id, satisfying the points_sorted contract
-            # (ops/fused_query.py) — skips the in-kernel sort + unsort
-            # (measured 26.4M vs 25.1M pts/s at the bench config); the
-            # runtime fits-guard still protects correctness.
-            return fused_query_local_implicit_grid(
-                imnet, p, latent, pts, block_pts=512, pad_to=0,
-                points_sorted=True, interpret=interpret)
-    else:
-        @jax.jit
-        def query_chunk(p, pts):
-            return query_local_implicit_grid(
-                lambda v: imnet.apply({"params": p}, v), latent, pts)
-
-    T, Z, X = out_shape
-    axes = [np.linspace(0, 1, n, dtype=np.float32) for n in (T, Z, X)]
-    TT, ZZ, XX = np.meshgrid(*axes, indexing="ij")
-    pts = np.stack([TT, ZZ, XX], -1).reshape(-1, 3)
-    n = pts.shape[0]
-    pad = (-n) % chunk
-    # Edge-repeat (not zero) padding keeps the tail chunk sorted in
-    # flat cell id, preserving the points_sorted fast-path contract.
-    pts = np.pad(pts, ((0, pad), (0, 0)), mode="edge")
-    outs = []
-    for i in range(0, pts.shape[0], chunk):
-        out = query_chunk(params["imnet"], jnp.asarray(pts[None, i:i + chunk]))
-        outs.append(np.asarray(out[0]))
-    pred = np.concatenate(outs)[:n]
-    return pred.reshape(T, Z, X, -1)
+    decoder = make_dense_decoder(
+        unet, imnet, out_shape, chunk=chunk, fused=fused,
+        batch_stats=batch_stats, interpret=interpret)
+    return np.asarray(decoder(params, lres))
 
 
 def main():
@@ -178,15 +136,16 @@ def main():
 
     import time
 
+    decoder = make_dense_decoder(unet, imnet, (T_hi, Z_hi, X_hi),
+                                 chunk=args.query_chunk,
+                                 batch_stats=state.batch_stats)
     all_rel, all_per_ch = [], []
     pred = gt = None
     for wi, t0 in enumerate(t0s):
         lres = (lres0 if t0 == args.eval_t0
                 else jnp.asarray(ds.full_lres_sequence(int(t0), eval_nt)))
         tq0 = time.perf_counter()
-        pred_n = dense_query(unet, imnet, state.params, lres,
-                             (T_hi, Z_hi, X_hi), chunk=args.query_chunk,
-                             batch_stats=state.batch_stats)
+        pred_n = np.asarray(decoder(state.params, lres))
         tq = time.perf_counter() - tq0
         n_q = T_hi * Z_hi * X_hi
         print(f"  decoded {n_q} pts in {tq:.2f}s = {n_q / tq / 1e6:.2f}M "

@@ -27,8 +27,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from space_time_pde_tpu.data.dataset4d import Field4DDataset
-from space_time_pde_tpu.models import UNet4d, \
-    query_local_implicit_grid
+from space_time_pde_tpu.inference import make_dense_decoder
+from space_time_pde_tpu.models import UNet4d
 from space_time_pde_tpu.train.trainer import make_optimizer
 from space_time_pde_tpu.utils.checkpoint import CheckpointManager
 from space_time_pde_tpu.utils.config import Config
@@ -38,46 +38,17 @@ from train import build_turb3d_models, init_state4d  # noqa: E402
 
 def dense_query4d(unet, imnet, params, lres, out_shape, chunk=32768,
                   fused=None, interpret=False):
-    """Encode once, decode a [T,Z,Y,X] lattice in chunks -> [...,4]."""
-    latent = jax.jit(
-        lambda p, x: unet.apply({"params": p}, x))(params["unet"],
-                                                   lres[None])
-    if fused is None:
-        fused = jax.devices()[0].platform != "cpu"
+    """Encode once, decode a [T,Z,Y,X] lattice in chunks -> [...,4].
 
-    if fused:
-        from space_time_pde_tpu.ops.fused_query import (
-            fused_query_local_implicit_grid,
-        )
-
-        @jax.jit
-        def query_chunk(p, pts):
-            # Dense row-major lattice chunks satisfy the points_sorted
-            # contract (globally non-decreasing flat cell ids); on
-            # small 4-D grids the whole-table path ignores it, on
-            # >2048-cell grids it skips the in-kernel sort + unsort.
-            return fused_query_local_implicit_grid(
-                imnet, p, latent, pts, block_pts=128, pad_to=0,
-                points_sorted=True, interpret=interpret)
-    else:
-        @jax.jit
-        def query_chunk(p, pts):
-            return query_local_implicit_grid(
-                lambda v: imnet.apply({"params": p}, v), latent, pts)
-
-    axes = [np.linspace(0, 1, n, dtype=np.float32) for n in out_shape]
-    mesh = np.meshgrid(*axes, indexing="ij")
-    pts = np.stack(mesh, -1).reshape(-1, 4)
-    n = pts.shape[0]
-    pad = (-n) % chunk
-    # Edge-repeat padding keeps the tail chunk sorted in flat cell id.
-    pts = np.pad(pts, ((0, pad), (0, 0)), mode="edge")
-    outs = []
-    for i in range(0, pts.shape[0], chunk):
-        out = query_chunk(params["imnet"],
-                          jnp.asarray(pts[None, i:i + chunk]))
-        outs.append(np.asarray(out[0]))
-    return np.concatenate(outs)[:n].reshape(*out_shape, -1)
+    One-shot convenience over
+    :func:`space_time_pde_tpu.inference.make_dense_decoder` (4-D
+    instance: 16-corner fused kernel, block_pts=128); for repeated
+    windows build the decoder once (avoids per-call recompiles).
+    """
+    decoder = make_dense_decoder(
+        unet, imnet, out_shape, chunk=chunk, fused=fused,
+        interpret=interpret, block_pts=128)
+    return np.asarray(decoder(params, lres))
 
 
 def main():
@@ -176,6 +147,8 @@ def main():
 
     import time
 
+    decoder = make_dense_decoder(unet, imnet, hi_shape,
+                                 chunk=args.query_chunk, block_pts=128)
     rels, per_chs, first_pred = [], [], None
     for wi, t0 in enumerate(t0s):
         window = ds.data[t0:t0 + a.nt]            # [nt, Z, Y, X, 4]
@@ -184,9 +157,7 @@ def main():
         lres = interp(lat_pts).reshape(*lres_sizes, -1).astype(np.float32)
         lres = (lres - ds.channel_mean) / ds.channel_std
         tq0 = time.perf_counter()
-        pred_n = dense_query4d(unet, imnet, state.params,
-                               jnp.asarray(lres), hi_shape,
-                               chunk=args.query_chunk)
+        pred_n = np.asarray(decoder(state.params, jnp.asarray(lres)))
         tq = time.perf_counter() - tq0
         n_q = int(np.prod(hi_shape))
         print(f"  decoded {n_q} pts in {tq:.2f}s = {n_q / tq / 1e6:.2f}M "

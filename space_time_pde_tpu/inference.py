@@ -1,0 +1,95 @@
+"""Dense-lattice inference: the eval CLIs' decode path.
+
+TPU-native equivalent of the reference's dense super-resolution decode
+(reference ``experiments/rb2d/evaluation.py``: a Python loop of
+memory-bounded ``query_local_implicit_grid`` chunk calls). Here the
+encode and the chunked decode run in ONE jitted program: a ``lax.map``
+over uniform point chunks replaces the host-side chunk loop, so a
+window costs one dispatch and one device->host fetch instead of one
+per chunk. Through this environment's remote-TPU tunnel each dispatch
+is a ~0.4 s round trip, which dominated the decode (measured
+0.01-0.03M pts/s end to end before this change); per-window jit
+closures also recompiled the kernel every window. Build the decoder
+ONCE per eval shape and call it per window.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from space_time_pde_tpu.models import query_local_implicit_grid
+
+__all__ = ["make_dense_decoder"]
+
+
+def make_dense_decoder(unet, imnet, out_shape, chunk=65536, fused=None,
+                       batch_stats=None, interpret=False, block_pts=512):
+    """Build a one-dispatch dense decoder ``decode(params, lres)``.
+
+    Args:
+      unet, imnet: flax modules (UNet3d/UNet4d encoder, ImNet decoder).
+      out_shape: the dense output lattice, e.g. ``(T, Z, X)`` (3-D) or
+        ``(T, Z, Y, X)`` (4-D); points are the uniform unit lattice in
+        row-major order, which satisfies the fused kernel's
+        ``points_sorted`` contract by construction.
+      chunk: points per ``lax.map`` step — bounds the live intermediate
+        memory exactly like the old host-side chunk loop did.
+      fused: None auto-selects the Pallas fused kernel on TPU (the
+        north-star throughput path) and the jnp path elsewhere.
+      batch_stats: running stats for norm="batch" checkpoints.
+      interpret: run the fused kernel in Pallas interpret mode (CI on
+        CPU exercises the exact eval decode path).
+      block_pts: fused-kernel point-block size (512 for 3-D, 128 for
+        the 16-corner 4-D kernel).
+
+    Returns:
+      ``decode(params, lres) -> [*out_shape, out_features]`` device
+      array; ``params`` is the ``{"unet":..., "imnet":...}`` pytree.
+    """
+    if fused is None:
+        fused = jax.devices()[0].platform != "cpu"
+    if fused:
+        from space_time_pde_tpu.ops.fused_query import (
+            fused_query_local_implicit_grid,
+        )
+
+    dim = len(out_shape)
+    axes = [np.linspace(0, 1, n, dtype=np.float32) for n in out_shape]
+    mesh = np.meshgrid(*axes, indexing="ij")
+    pts = np.stack(mesh, -1).reshape(-1, dim)
+    n = pts.shape[0]
+    pad = (-n) % chunk
+    # Edge-repeat (not zero) padding keeps the tail chunk sorted in
+    # flat cell id, preserving the points_sorted fast-path contract.
+    pts = np.pad(pts, ((0, pad), (0, 0)), mode="edge")
+    pts_chunks = jnp.asarray(pts.reshape(-1, chunk, dim))
+
+    @jax.jit
+    def decode(params, lres):
+        uvars = {"params": params["unet"]}
+        if batch_stats is not None:
+            uvars["batch_stats"] = batch_stats
+        latent = unet.apply(uvars, lres[None])
+
+        if fused:
+            def body(pts_c):
+                # Dense row-major lattice chunks are globally
+                # non-decreasing in flat cell id, satisfying the
+                # points_sorted contract (ops/fused_query.py) — skips
+                # the in-kernel sort + unsort (measured 26.4M vs 25.1M
+                # pts/s at the bench config); the runtime fits-guard
+                # still protects correctness.
+                return fused_query_local_implicit_grid(
+                    imnet, params["imnet"], latent, pts_c[None],
+                    block_pts=block_pts, pad_to=0,
+                    points_sorted=True, interpret=interpret)[0]
+        else:
+            def body(pts_c):
+                return query_local_implicit_grid(
+                    lambda v: imnet.apply({"params": params["imnet"]}, v),
+                    latent, pts_c[None])[0]
+
+        out = jax.lax.map(body, pts_chunks)
+        return out.reshape(-1, out.shape[-1])[:n].reshape(*out_shape, -1)
+
+    return decode
