@@ -29,7 +29,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from space_time_pde_tpu.data import RB2DataLoader
-from space_time_pde_tpu.inference import make_dense_decoder
+from space_time_pde_tpu.inference import (
+    make_dense_decoder, stitch_plan, stitch_weights)
 from space_time_pde_tpu.train import build_models, init_state
 from space_time_pde_tpu.train.trainer import make_optimizer
 from space_time_pde_tpu.utils.checkpoint import CheckpointManager
@@ -69,6 +70,16 @@ def main():
         help="evaluate N windows evenly spaced through the data "
              "(starting at --eval_t0) and report mean/std rel-L2; "
              "npz/frames/animation come from the first window")
+    parser.add_argument(
+        "--full_sequence", action="store_true",
+        help="decode the ENTIRE simulation: overlapping nt-frame "
+             "windows stitched with a triangular temporal cross-fade "
+             "(inference.stitch_plan/stitch_weights); reports one "
+             "global rel-L2 and saves the full [T,Z,X,4] prediction. "
+             "Beyond-reference: the reference evaluates one window.")
+    parser.add_argument(
+        "--stitch_stride", type=int, default=0,
+        help="window stride (frames) for --full_sequence; 0 = nt/2")
     parser.add_argument(
         "--split", choices=["custom", "val", "test"], default="custom",
         help="named split protocol (data/splits.py): 'val'/'test' pick "
@@ -139,8 +150,50 @@ def main():
     decoder = make_dense_decoder(unet, imnet, (T_hi, Z_hi, X_hi),
                                  chunk=args.query_chunk,
                                  batch_stats=state.batch_stats)
+    if args.full_sequence:
+        # Stitched decode of the whole simulation: accumulate each
+        # window's prediction under a triangular temporal weight, then
+        # normalize. Frames covered by one window divide out exactly.
+        T_total = ds.data.shape[0]
+        stride = args.stitch_stride or max(1, eval_nt // 2)
+        w = stitch_weights(eval_nt)[:, None, None, None]
+        acc = np.zeros((T_total, Z_hi, X_hi, 4), np.float32)
+        wacc = np.zeros((T_total, 1, 1, 1), np.float32)
+        starts = stitch_plan(T_total, eval_nt, stride)
+        tq0 = time.perf_counter()
+        for wi, t0 in enumerate(starts):
+            lres = jnp.asarray(ds.full_lres_sequence(int(t0), eval_nt))
+            pred_n = np.asarray(decoder(state.params, lres))
+            acc[t0:t0 + eval_nt] += w * (
+                pred_n * ds.channel_std + ds.channel_mean)
+            wacc[t0:t0 + eval_nt] += w
+        tq = time.perf_counter() - tq0
+        pred = acc / wacc
+        gt = ds.data
+        n_q = len(starts) * eval_nt * Z_hi * X_hi
+        print(f"stitched {len(starts)} windows (stride {stride}) over "
+              f"{T_total} frames: {n_q} pts in {tq:.2f}s = "
+              f"{n_q / tq / 1e6:.2f}M pts/s (includes compile)",
+              flush=True)
+        rel_l2 = float(np.linalg.norm(pred - gt) /
+                       (np.linalg.norm(gt) + 1e-12))
+        per_ch = np.asarray([
+            float(np.linalg.norm(pred[..., c] - gt[..., c]) /
+                  (np.linalg.norm(gt[..., c]) + 1e-12))
+            for c in range(4)])
+        per_frame = np.linalg.norm(
+            (pred - gt).reshape(T_total, -1), axis=1) / (
+            np.linalg.norm(gt.reshape(T_total, -1), axis=1) + 1e-12)
+        print(f"full-sequence rel_l2 = {rel_l2:.5f}  per-channel "
+              f"(p,b,u,w) = " + " ".join(f"{v:.5f}" for v in per_ch))
+        print(f"per-frame rel_l2: min {per_frame.min():.5f} "
+              f"median {np.median(per_frame):.5f} "
+              f"max {per_frame.max():.5f}")
+        t0s = []
+
     all_rel, all_per_ch = [], []
-    pred = gt = None
+    if not args.full_sequence:
+        pred = gt = None
     for wi, t0 in enumerate(t0s):
         lres = (lres0 if t0 == args.eval_t0
                 else jnp.asarray(ds.full_lres_sequence(int(t0), eval_nt)))
@@ -165,11 +218,12 @@ def main():
             pred, gt = pred_w, gt_w
         print(f"window t0={t0}: rel_l2 = {rel:.5f}", flush=True)
 
-    rel_l2 = float(np.mean(all_rel))
-    per_ch = np.mean(np.asarray(all_per_ch), axis=0)
-    print(f"rel_l2 = {rel_l2:.5f} (std {np.std(all_rel):.5f} over "
-          f"{len(t0s)} windows)  per-channel (p,b,u,w) = "
-          + " ".join(f"{v:.5f}" for v in per_ch))
+    if not args.full_sequence:
+        rel_l2 = float(np.mean(all_rel))
+        per_ch = np.mean(np.asarray(all_per_ch), axis=0)
+        print(f"rel_l2 = {rel_l2:.5f} (std {np.std(all_rel):.5f} over "
+              f"{len(t0s)} windows)  per-channel (p,b,u,w) = "
+              + " ".join(f"{v:.5f}" for v in per_ch))
 
     os.makedirs(os.path.dirname(os.path.abspath(args.save_path)),
                 exist_ok=True)
@@ -207,7 +261,7 @@ def main():
                 im.set_data((gt if j == 0 else pred)[fi, :, :, c])
             return [im for im, _, _ in ims]
 
-        anim = manim.FuncAnimation(fig, update, frames=eval_nt,
+        anim = manim.FuncAnimation(fig, update, frames=pred.shape[0],
                                    blit=True)
         os.makedirs(os.path.dirname(os.path.abspath(args.save_animation))
                     or ".", exist_ok=True)
@@ -222,7 +276,8 @@ def main():
 
         out_dir = os.path.splitext(args.save_path)[0] + "_frames"
         os.makedirs(out_dir, exist_ok=True)
-        idxs = np.linspace(0, eval_nt - 1, args.render_frames).astype(int)
+        idxs = np.linspace(0, pred.shape[0] - 1,
+                           args.render_frames).astype(int)
         names = ["p", "b", "u", "w"]
         for fi in idxs:
             fig, axes = plt.subplots(4, 2, figsize=(10, 12))

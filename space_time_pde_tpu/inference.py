@@ -19,7 +19,38 @@ import numpy as np
 
 from space_time_pde_tpu.models import query_local_implicit_grid
 
-__all__ = ["make_dense_decoder"]
+__all__ = ["make_dense_decoder", "stitch_plan", "stitch_weights"]
+
+
+def stitch_plan(t_total, nt, stride, t0=0):
+    """Window start frames covering ``[t0, t_total)`` at ``stride``.
+
+    The final window is clamped so the sequence end is always covered
+    (it may overlap its predecessor by more than ``nt - stride``).
+    Beyond-reference capability: the reference evaluates one window at
+    a time (reference ``experiments/rb2d/evaluation.py``); this plans a
+    seamless decode of an ENTIRE simulation.
+    """
+    if nt > t_total - t0:
+        raise ValueError(f"window nt={nt} exceeds frames {t_total - t0}")
+    stride = max(1, int(stride))
+    t0s = list(range(t0, t_total - nt + 1, stride))
+    if t0s[-1] != t_total - nt:
+        t0s.append(t_total - nt)
+    return t0s
+
+
+def stitch_weights(nt):
+    """Triangular cross-fade weights for overlapping window stitching.
+
+    Peak in the window middle, weight 1 at the edges; overlapping
+    windows blend proportionally (a frame seen late in window i and
+    early in window i+1 trusts whichever sees it nearer its middle —
+    the latent grid's interior, where the implicit field is best
+    conditioned). Frames covered by a single window divide out exactly.
+    """
+    idx = np.arange(nt, dtype=np.float32)
+    return np.minimum(idx + 1.0, nt - idx)
 
 
 def make_dense_decoder(unet, imnet, out_shape, chunk=65536, fused=None,

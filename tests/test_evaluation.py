@@ -77,3 +77,54 @@ def test_dense_query_fused_windowed_matches_jnp():
     # kernel's bf16 operand rounding.
     np.testing.assert_allclose(
         pred.reshape(-1, 4), np.asarray(want[0]), rtol=0.05, atol=0.02)
+
+
+def test_stitch_plan_covers_every_frame():
+    from space_time_pde_tpu.inference import stitch_plan
+
+    for t_total, nt, stride in [(200, 16, 8), (50, 16, 16), (37, 8, 5),
+                                (16, 16, 8), (21, 16, 100)]:
+        t0s = stitch_plan(t_total, nt, stride)
+        covered = np.zeros(t_total, bool)
+        for t0 in t0s:
+            assert 0 <= t0 <= t_total - nt
+            covered[t0:t0 + nt] = True
+        assert covered.all(), (t_total, nt, stride, t0s)
+        assert t0s[-1] == t_total - nt          # end always clamped
+        assert t0s == sorted(set(t0s))          # strictly increasing
+
+    import pytest
+    with pytest.raises(ValueError):
+        stitch_plan(10, 16, 8)
+
+
+def test_stitch_weights_shape_and_symmetry():
+    from space_time_pde_tpu.inference import stitch_weights
+
+    for nt in (4, 5, 16):
+        w = stitch_weights(nt)
+        assert w.shape == (nt,)
+        assert (w >= 1.0).all()                 # never zero at edges
+        np.testing.assert_allclose(w, w[::-1])  # symmetric cross-fade
+        assert w.argmax() in (nt // 2 - 1, nt // 2, (nt - 1) // 2)
+
+
+def test_stitched_accumulation_reconstructs_global_field():
+    """The driver's --full_sequence accumulation is exact when each
+    window prediction is a slice of one global field: overlapping
+    triangular weights blend identical values, so the stitched output
+    equals the field bit-for-bit up to float summation error."""
+    from space_time_pde_tpu.inference import stitch_plan, stitch_weights
+
+    rng = np.random.RandomState(3)
+    T_total, Z, X, C = 23, 4, 5, 4
+    field = rng.randn(T_total, Z, X, C).astype(np.float32)
+    nt, stride = 8, 3
+
+    w = stitch_weights(nt)[:, None, None, None]
+    acc = np.zeros_like(field)
+    wacc = np.zeros((T_total, 1, 1, 1), np.float32)
+    for t0 in stitch_plan(T_total, nt, stride):
+        acc[t0:t0 + nt] += w * field[t0:t0 + nt]
+        wacc[t0:t0 + nt] += w
+    np.testing.assert_allclose(acc / wacc, field, rtol=1e-5, atol=1e-6)
