@@ -29,22 +29,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from space_time_pde_tpu.ops.grid_interp import _locate, multilinear_interp
+from space_time_pde_tpu.ops.grid_interp import _locate, corner_offsets
 
 __all__ = ["DeviceSampler"]
-
-
-def _nearest_interp(grid: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
-    """Nearest-node read of [0,1]-normalized pts (ties -> lower node,
-    matching scipy RegularGridInterpolator)."""
-    spatial = grid.shape[:-1]
-    cell, frac = _locate(pts, spatial, 0.0, 1.0)
-    idx = cell + (frac > 0.5)
-    strides = np.ones(len(spatial), np.int32)
-    for a in range(len(spatial) - 2, -1, -1):
-        strides[a] = strides[a + 1] * spatial[a + 1]
-    flat = jnp.sum(idx * jnp.asarray(strides), axis=-1)
-    return jnp.take(grid.reshape(-1, grid.shape[-1]), flat, axis=0)
 
 
 def _crop_geometry(ds):
@@ -71,7 +58,26 @@ class DeviceSampler:
                 "DeviceSampler supports lres_filter='none' only "
                 f"(got {ds.lres_filter!r}); use the host pipeline")
         self._host_data = np.asarray(ds.data)          # for refresh()
-        self.data = jnp.asarray(ds.data)               # [*spatial, C]
+        # The HBM-resident field is kept FLAT 1-D. A [*spatial, C] array
+        # gets a (8,128)-tiled device layout whose minor dims (e.g. a
+        # 32-node axis, or C=4) pad up to the 128-lane tile — at 200
+        # stacked simulations that turned a 2.34 GB field into a 9.4 GB
+        # re-layout copy inside the step (observed OOM: 17.65/15.75 GB).
+        # A 1-D array takes the padding-free T(1024) layout and every
+        # read below is a flat gather with precomputed element strides.
+        self.field_spatial = tuple(int(s) for s in ds.data.shape[:-1])
+        self.n_ch = int(ds.data.shape[-1])
+        # Flatten ON THE HOST: reshaping after upload compiles a device
+        # program whose 5-D input takes the padded tiled layout (the
+        # very thing we're avoiding — observed as an 80 GB copy).
+        self.data = jnp.asarray(self._host_data.reshape(-1))
+        strides = np.ones(len(self.field_spatial), np.int64)
+        for a in range(len(self.field_spatial) - 2, -1, -1):
+            strides[a] = strides[a + 1] * self.field_spatial[a + 1]
+        # Node stride in ELEMENTS of the flat array (channel-minor).
+        self._strides = (strides * self.n_ch).astype(np.int32)
+        if int(np.prod(self.field_spatial)) * self.n_ch >= 2**31:
+            raise ValueError("device field exceeds int32 flat indexing")
         self.mean = jnp.asarray(ds.channel_mean, jnp.float32)
         self.std = jnp.asarray(ds.channel_std, jnp.float32)
         self.crop_sizes, self.lres_sizes = _crop_geometry(ds)
@@ -99,7 +105,7 @@ class DeviceSampler:
         recovery: heals a corrupted HBM-resident field without
         recompiling — the field rides the batch as `_const_field`, so
         the compiled step picks up the new buffer on the next call)."""
-        self.data = jnp.asarray(self._host_data)
+        self.data = jnp.asarray(self._host_data.reshape(-1))
         return self.data
 
     # -------------------------------------------------------- host side
@@ -119,14 +125,35 @@ class DeviceSampler:
 
     def _read(self, pts_crop: jnp.ndarray, origin: jnp.ndarray,
               method: str, field: jnp.ndarray) -> jnp.ndarray:
-        """Read crop-normalized points [N, D] of one crop -> [N, C]."""
+        """Read crop-normalized points [N, D] of one crop -> [N, C].
+
+        ``field`` is the FLAT 1-D device field (see ``__init__``); the
+        multilinear / nearest reads are flat gathers so the big operand
+        never leaves its padding-free 1-D layout.
+        """
+        spatial = self.field_spatial
         sizes = jnp.asarray(self.crop_sizes, jnp.float32)
-        gsizes = jnp.asarray(field.shape[:self.dim], jnp.float32)
+        gsizes = jnp.asarray(spatial, jnp.float32)
         s_idx = origin.astype(jnp.float32) + pts_crop * (sizes - 1.0)
         p_glob = s_idx / (gsizes - 1.0)
+        cell, frac = _locate(p_glob, spatial, 0.0, 1.0)
+        strides = jnp.asarray(self._strides)
+        ch = jnp.arange(self.n_ch, dtype=jnp.int32)
         if method == "nearest":
-            return _nearest_interp(field, p_glob)
-        return multilinear_interp(field, p_glob)
+            # Ties -> lower node (strict frac > 0.5), matching scipy
+            # RegularGridInterpolator's 'nearest' as the host path does.
+            node = cell + (frac > 0.5)
+            base = jnp.sum(node * strides, axis=-1)             # [N]
+            return jnp.take(field, base[:, None] + ch[None, :], axis=0)
+        offs = jnp.asarray(corner_offsets(self.dim))            # [K, D]
+        cidx = cell[:, None, :] + offs[None]                    # [N, K, D]
+        base = jnp.sum(cidx * strides, axis=-1)                 # [N, K]
+        feats = jnp.take(field, base[..., None] + ch, axis=0)   # [N, K, C]
+        offs_f = offs.astype(frac.dtype)
+        per_axis = jnp.where(offs_f[None], frac[:, None, :],
+                             1.0 - frac[:, None, :])
+        weights = jnp.prod(per_axis, axis=-1)                   # [N, K]
+        return jnp.einsum("nkc,nk->nc", feats, weights)
 
     def batch_fn(self, origins: jnp.ndarray, pts: jnp.ndarray,
                  field: jnp.ndarray = None) -> Dict[str, jnp.ndarray]:
