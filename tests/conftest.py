@@ -19,13 +19,21 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 
-# Persistent XLA compilation cache: the suite's wall time is dominated
-# by shard_map/scan compiles (the shapes are tiny); caching them makes
-# every run after the first start warm. Keyed on program + jax version,
-# so stale hits are not a correctness risk.
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.expanduser("~/.cache/stpde_xla_test"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# The suite's wall time is dominated by XLA:CPU compiles of the big
+# jet/shard_map train-step graphs (execution at these tiny shapes is
+# milliseconds). Two measured facts drive the settings here:
+#  - optimization level 0 cuts those compiles ~45% (9.7 s vs 16.3 s on
+#    the dp_sp 4-D step) with identical test outcomes — the tests
+#    assert numerics against oracles, not performance;
+#  - the persistent compilation cache is USELESS for XLA:CPU in this
+#    environment: entries are AOT artifacts whose recorded machine
+#    features (incl. pseudo-features like +prefer-no-scatter) never
+#    match the loader's host-feature probe, so every lookup warns and
+#    recompiles (verified with a fresh cache dir: 2nd run compiles
+#    are as slow as the 1st). Don't configure one.
+# XLA parses XLA_FLAGS lazily at first backend use, so setting it here
+# (after the sitecustomize jax import, before any compile) works.
+os.environ["XLA_FLAGS"] = "--xla_backend_optimization_level=0"
 
 # Repo root on sys.path so `space_time_pde_tpu` imports without install.
 _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -34,27 +42,19 @@ sys.path.insert(0, _ROOT)
 
 def subprocess_env(cache_suffix: str = "", **extra):
     """Environment for tests that spawn fresh interpreters (driver CLIs,
-    multihost runs): CPU platform + the SAME persistent compilation
-    cache this conftest configures in-process. Without it every
-    subprocess recompiles the full train/eval programs from scratch —
-    measured at 60-90 s per interpreter, the dominant cost of the
-    driver-level tests.
+    multihost runs): CPU platform + the same compile-time-over-run-time
+    XLA optimization level the in-process suite uses (see the comment
+    above — the persistent compilation cache does not work for XLA:CPU
+    here, so fast compiles are the only lever).
 
-    cache_suffix: give each process of a MULTI-PROCESS run its own
-    cache directory (e.g. the process id). With a shared directory one
-    process can hit entries the other misses and race ahead to the
-    first cross-process collective, whose Gloo context init times out
-    after a hard 30 s — warm/cold asymmetry larger than that kills the
-    run. Per-process caches keep the skew symmetric (and still warm
-    across suite runs)."""
+    cache_suffix: kept for call-site compatibility; unused now that no
+    per-process cache directories exist."""
+    del cache_suffix
     env = dict(
         os.environ,
         STPDE_PLATFORM="cpu",
-        JAX_COMPILATION_CACHE_DIR=os.path.expanduser(
-            "~/.cache/stpde_xla_test" + cache_suffix),
-        JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS="0.5",
+        XLA_FLAGS="--xla_backend_optimization_level=0",
     )
-    env.pop("XLA_FLAGS", None)
     env.update({k: str(v) for k, v in extra.items()})
     return env
 

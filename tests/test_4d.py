@@ -16,7 +16,7 @@ from space_time_pde_tpu.physics.systems import get_pde_layer
 def test_conv4d_shapes_and_stride():
     m = Conv4d(6, strides=(2, 2, 2, 2))
     x = jnp.ones((2, 4, 4, 4, 4, 3))
-    params = m.init(jax.random.PRNGKey(0), x)
+    params = jax.jit(m.init)(jax.random.PRNGKey(0), x)
     out = m.apply(params, x)
     assert out.shape == (2, 2, 2, 2, 2, 6)
 
@@ -24,7 +24,7 @@ def test_conv4d_shapes_and_stride():
 def test_unet4d_same_resolution_output():
     m = UNet4d(in_features=4, out_features=8, igres=(4, 4, 4, 8), nf=8)
     x = jnp.ones((1, 4, 4, 4, 8, 4))
-    params = m.init(jax.random.PRNGKey(0), x)
+    params = jax.jit(m.init)(jax.random.PRNGKey(0), x)
     out = jax.jit(m.apply)(params, x)
     assert out.shape == (1, 4, 4, 4, 8, 8)
     assert m.levels == 2
@@ -48,7 +48,7 @@ def test_4d_imnet_query_and_fused_parity():
 
     C = 4
     model = ImNet(dim=4, in_features=C, out_features=4, nf=2)
-    params = model.init(jax.random.PRNGKey(1),
+    params = jax.jit(model.init)(jax.random.PRNGKey(1),
                         jnp.ones((1, 4 + C)))["params"]
     rng = np.random.RandomState(2)
     grid = jnp.asarray(rng.randn(1, 3, 3, 4, 4, C).astype(np.float32))
@@ -98,8 +98,8 @@ def test_4d_end_to_end_train_step():
     lres = jnp.asarray(np.random.RandomState(4).randn(
         1, *igres, 4).astype(np.float32))
     params = {
-        "unet": unet.init(key, lres)["params"],
-        "imnet": imnet.init(key, jnp.zeros((1, 8)))["params"],
+        "unet": jax.jit(unet.init)(key, lres)["params"],
+        "imnet": jax.jit(imnet.init)(key, jnp.zeros((1, 8)))["params"],
     }
     coords = jnp.asarray(np.random.RandomState(5).rand(
         1, 16, 4).astype(np.float32))
@@ -171,8 +171,8 @@ def test_4d_pipeline_trains_on_abc_data(tmp_path):
     batch = {k: jnp.asarray(v) for k, v in
              ds.sample_batch(np.random.RandomState(0), 1).items()}
     params = {
-        "unet": unet.init(key, batch["lres"])["params"],
-        "imnet": imnet.init(key, jnp.zeros((1, 8)))["params"],
+        "unet": jax.jit(unet.init)(key, batch["lres"])["params"],
+        "imnet": jax.jit(imnet.init)(key, jnp.zeros((1, 8)))["params"],
     }
     et, ez, ey, ex = ds.coord_extents
     pde = get_pde_layer("ns3d", mean=ds.channel_mean,

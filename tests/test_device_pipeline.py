@@ -69,8 +69,8 @@ def test_wrapped_loss_matches_host_batch(tg_ds):
                             rayleigh=1e4)
     key = jax.random.PRNGKey(0)
     params = {
-        "unet": unet.init(key, jnp.zeros((1, *ds.lres_shape, 4)))["params"],
-        "imnet": imnet.init(key, jnp.zeros((1, 3 + 8)))["params"],
+        "unet": jax.jit(unet.init)(key, jnp.zeros((1, *ds.lres_shape, 4)))["params"],
+        "imnet": jax.jit(imnet.init)(key, jnp.zeros((1, 3 + 8)))["params"],
     }
     loss_fn = make_loss_fn(cfg, unet, imnet, pde)
     sampler = DeviceSampler(ds)

@@ -213,8 +213,8 @@ def test_dp_sp_4d_shard_count_invariance(tmp_path):
 
     k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
     params = {
-        "unet": unet.init(k1, jnp.zeros((1, *ds.lres_shape, 4)))["params"],
-        "imnet": imnet.init(k2, jnp.zeros((1, 8)))["params"],
+        "unet": jax.jit(unet.init)(k1, jnp.zeros((1, *ds.lres_shape, 4)))["params"],
+        "imnet": jax.jit(imnet.init)(k2, jnp.zeros((1, 8)))["params"],
     }
 
     def fresh():

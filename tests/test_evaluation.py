@@ -20,8 +20,8 @@ def test_dense_query_matches_direct_query():
     rng = np.random.RandomState(0)
     lres = jnp.asarray(rng.randn(*igres, 4).astype(np.float32))
     params = {
-        "unet": unet.init(key, lres[None])["params"],
-        "imnet": imnet.init(key, jnp.zeros((1, 11)))["params"],
+        "unet": jax.jit(unet.init)(key, lres[None])["params"],
+        "imnet": jax.jit(imnet.init)(key, jnp.zeros((1, 11)))["params"],
     }
 
     out_shape = (6, 10, 12)
@@ -55,8 +55,8 @@ def test_dense_query_fused_windowed_matches_jnp():
     rng = np.random.RandomState(1)
     lres = jnp.asarray(rng.randn(*igres, 4).astype(np.float32))
     params = {
-        "unet": unet.init(key, lres[None])["params"],
-        "imnet": imnet.init(key, jnp.zeros((1, 11)))["params"],
+        "unet": jax.jit(unet.init)(key, lres[None])["params"],
+        "imnet": jax.jit(imnet.init)(key, jnp.zeros((1, 11)))["params"],
     }
 
     # Hi-res lattice with X == the eval block size (512): one x-row per

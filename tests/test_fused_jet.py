@@ -26,7 +26,7 @@ jax.config.update("jax_enable_x64", False)
 def _setup(nf=2, lat=8, out=4, dim=3, seed=0):
     imnet = ImNet(dim=dim, in_features=lat, out_features=out, nf=nf)
     key = jax.random.PRNGKey(seed)
-    params = imnet.init(key, jnp.zeros((1, dim + lat)))["params"]
+    params = jax.jit(imnet.init)(key, jnp.zeros((1, dim + lat)))["params"]
     return imnet, params
 
 
@@ -89,7 +89,7 @@ def test_fused_jet_relu_activation_parity():
     imnet = ImNet(dim=3, in_features=8, out_features=4, nf=2,
                   activation="relu")
     key = jax.random.PRNGKey(7)
-    params = imnet.init(key, jnp.zeros((1, 11)))["params"]
+    params = jax.jit(imnet.init)(key, jnp.zeros((1, 11)))["params"]
     rng = np.random.RandomState(6)
     latent = jnp.asarray(rng.randn(1, 3, 4, 4, 8).astype(np.float32))
     pts = jnp.asarray(rng.rand(1, 16, 3).astype(np.float32))
@@ -179,7 +179,7 @@ def test_fused_jet_in_training_loss():
     key = jax.random.PRNGKey(0)
     rng = np.random.RandomState(0)
     lres = jnp.asarray(rng.randn(2, 4, 8, 8, 4).astype(np.float32))
-    params = {"unet": unet.init(key, lres)["params"], "imnet": iparams}
+    params = {"unet": jax.jit(unet.init)(key, lres)["params"], "imnet": iparams}
     coords = jnp.asarray(rng.rand(2, 16, 3).astype(np.float32))
     target = jnp.asarray(rng.randn(2, 16, 4).astype(np.float32))
     pde = get_pde_layer("rb2d", mean=np.zeros(4), std=np.ones(4),

@@ -29,7 +29,7 @@ def _setup(dim=3, n=64, lat=8, nf=4, out=4, seed=0, spatial=None):
     pts = pts.at[0, 1].set(1.0)
     pts = pts.at[0, 2, 0].set(1.0)
     imnet = ImNet(dim=dim, in_features=lat, out_features=out, nf=nf)
-    params = imnet.init(jax.random.PRNGKey(seed),
+    params = jax.jit(imnet.init)(jax.random.PRNGKey(seed),
                         jnp.zeros((1, dim + lat)))["params"]
     decoder = lambda v: imnet.apply({"params": params}, v)
     return grid, pts, decoder, imnet, params
@@ -175,8 +175,8 @@ def test_loss_and_grads_jet_vs_tower():
     }
     key = jax.random.PRNGKey(0)
     params = {
-        "unet": unet.init(key, jnp.zeros((1, *lres_shape, 4)))["params"],
-        "imnet": imnet.init(key, jnp.zeros((1, 3 + 8)))["params"],
+        "unet": jax.jit(unet.init)(key, jnp.zeros((1, *lres_shape, 4)))["params"],
+        "imnet": jax.jit(imnet.init)(key, jnp.zeros((1, 3 + 8)))["params"],
     }
 
     losses, grads = {}, {}

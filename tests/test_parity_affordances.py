@@ -44,7 +44,7 @@ def test_imnet_selectable_activation(name):
     net = ImNet(dim=3, in_features=4, out_features=2, nf=2,
                 activation=name)
     x = jax.random.normal(jax.random.PRNGKey(0), (5, 7))
-    params = net.init(jax.random.PRNGKey(1), x)["params"]
+    params = jax.jit(net.init)(jax.random.PRNGKey(1), x)["params"]
     y = net.apply({"params": params}, x)
     base = ImNet(dim=3, in_features=4, out_features=2, nf=2)
     yb = base.apply({"params": params}, x)
@@ -148,7 +148,7 @@ def test_batchnorm_mode_matches_torch_semantics():
     x = np.random.RandomState(3).randn(4, c, 4, 5, 6).astype(np.float32)
 
     bn_train = make_norm("batch", c, "bn", train=True)
-    variables = bn_train.init(jax.random.PRNGKey(0),
+    variables = jax.jit(bn_train.init)(jax.random.PRNGKey(0),
                               jnp.asarray(np.moveaxis(x, 1, -1)))
     # torch train step (updates running stats in-place)
     tbn.train()

@@ -62,15 +62,11 @@ def test_detector_nonfinite_streak():
     assert det.update({"loss": 1e9}) is not None
 
 
-def test_driver_cliff_recovery(tmp_path):
-    """Phase 1 trains one healthy epoch (writes a checkpoint). Phase 2
-    resumes with an absurd lr: the first epoch explodes, the driver
-    must print CLIFF RECOVERY, restore, continue at
-    lr x recovery_lr_factor (sane again) and finish with exit 0."""
+def _recovery_base_cmd(tmp_path):
     save_npz(str(tmp_path / "tg.npz"),
              taylor_green_fields(nt=12, nz=16, nx=16, dt=0.05))
     log_dir = tmp_path / "log"
-    base = [
+    return log_dir, [
         sys.executable, "-u",
         os.path.join(_ROOT, "experiments", "rb2d", "train.py"),
         "--data_folder", str(tmp_path),
@@ -84,6 +80,14 @@ def test_driver_cliff_recovery(tmp_path):
         "--pde_loss_type", "l2", "--log_dir", str(log_dir),
         "--device_data", "0",
     ]
+
+
+def test_driver_cliff_recovery(tmp_path):
+    """Phase 1 trains one healthy epoch (writes a checkpoint). Phase 2
+    resumes with an absurd lr: the first epoch explodes, the driver
+    must print CLIFF RECOVERY, restore, continue at
+    lr x recovery_lr_factor (sane again) and finish with exit 0."""
+    log_dir, base = _recovery_base_cmd(tmp_path)
     env = subprocess_env()
 
     out1 = subprocess.run(
@@ -110,9 +114,22 @@ def test_driver_cliff_recovery(tmp_path):
     assert all("nan" not in l and "inf" not in l for l in epoch_lines), \
         epoch_lines
 
-    # with recovery disabled the driver must never restore/rescale —
-    # it either spins on skipped updates (old behavior) or aborts on
-    # param corruption, but no CLIFF RECOVERY line may appear
+
+@pytest.mark.slow
+def test_driver_cliff_recovery_disabled(tmp_path):
+    """[slow, opt-in: pytest -m slow — one extra full-interpreter
+    train-CLI compile, ~40 s on this 1-core box] With --cliff_recovery 0
+    the driver must never restore/rescale: it either spins on skipped
+    updates or aborts on param corruption, but no CLIFF RECOVERY line
+    may appear."""
+    log_dir, base = _recovery_base_cmd(tmp_path)
+    env = subprocess_env()
+
+    out1 = subprocess.run(
+        base + ["--epochs", "1", "--lr", "1e-3"],
+        env=env, capture_output=True, text=True, timeout=540)
+    assert out1.returncode == 0, out1.stdout[-3000:] + out1.stderr[-3000:]
+
     out3 = subprocess.run(
         base + ["--epochs", "2", "--lr", "1e6",
                 "--cliff_recovery", "0",

@@ -62,7 +62,7 @@ def test_full_grid_sharded_pipeline():
     uparams = jax.jit(jax.shard_map(
         lambda xs: unet.init(key, xs), mesh=_mesh(1),
         in_specs=(SPEC,), out_specs=P(), check_vma=False))(x)
-    iparams = imnet.init(key, jnp.ones((1, 3 + C)))
+    iparams = jax.jit(imnet.init)(key, jnp.ones((1, 3 + C)))
     decoder = lambda v: imnet.apply(iparams, v)
 
     # Reference: unsharded encode (n=1) + plain query.
@@ -123,7 +123,7 @@ def test_dp_sp_with_sharded_encoder():
     sample = jnp.zeros((1, *ds.lres_shape, 4))
     params = {
         "unet": init_sharded_unet_params(key, unet, sample)["params"],
-        "imnet": imnet.init(key, jnp.zeros((1, 11)))["params"],
+        "imnet": jax.jit(imnet.init)(key, jnp.zeros((1, 11)))["params"],
     }
     tx = optax.adam(1e-3)
     state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
@@ -161,7 +161,7 @@ def test_unet3d_checkpoint_interchangeable_with_sharded():
     rng = np.random.RandomState(7)
     x = jnp.asarray(rng.randn(2, *igres, 4).astype(np.float32))
 
-    params = plain.init(jax.random.PRNGKey(3), x)
+    params = jax.jit(plain.init)(jax.random.PRNGKey(3), x)
     # Identical parameter pytrees (names AND shapes).
     sh_params = jax.jit(jax.shard_map(
         lambda xs: sharded.init(jax.random.PRNGKey(3), xs), mesh=_mesh(1),
@@ -195,7 +195,7 @@ def test_sharded_batchnorm_matches_unsharded():
     rng = np.random.RandomState(5)
     x = jnp.asarray(rng.randn(2, *igres, 4).astype(np.float32))
 
-    variables = plain.init(jax.random.PRNGKey(3), x)
+    variables = jax.jit(plain.init)(jax.random.PRNGKey(3), x)
     sh_vars = jax.jit(jax.shard_map(
         lambda xs: sharded.init(jax.random.PRNGKey(3), xs), mesh=_mesh(1),
         in_specs=(SPEC,), out_specs=P(), check_vma=False))(x)
@@ -267,7 +267,7 @@ def test_dp_sp_sharded_encoder_batchnorm():
     uvars = init_sharded_unet_params(key, unet, sample)
     params = {
         "unet": uvars["params"],
-        "imnet": imnet.init(key, jnp.zeros((1, 11)))["params"],
+        "imnet": jax.jit(imnet.init)(key, jnp.zeros((1, 11)))["params"],
     }
     tx = optax.adam(1e-3)
     state = TrainState(step=jnp.zeros((), jnp.int32), params=params,

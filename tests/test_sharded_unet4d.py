@@ -35,7 +35,7 @@ def test_sharded_unet4d_matches_plain_unet4d():
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.randn(2, *igres, 4).astype(np.float32))
 
-    params = plain.init(jax.random.PRNGKey(0), x)
+    params = jax.jit(plain.init)(jax.random.PRNGKey(0), x)
     sh_params = init_sharded_unet4d_params(
         jax.random.PRNGKey(0), sharded, x)
 
@@ -89,7 +89,7 @@ def test_dp_sp_4d_sharded_encoder_step():
     params = {
         "unet": init_sharded_unet4d_params(
             key, unet, jnp.asarray(lres))["params"],
-        "imnet": imnet.init(key, jnp.ones((1, 4 + C)))["params"],
+        "imnet": jax.jit(imnet.init)(key, jnp.ones((1, 4 + C)))["params"],
     }
     tx = optax.sgd(1e-3)
     state = TrainState(step=jnp.zeros((), jnp.int32), params=params,

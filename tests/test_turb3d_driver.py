@@ -20,8 +20,8 @@ def test_dense_query4d_matches_direct_query():
     rng = np.random.RandomState(0)
     lres = jnp.asarray(rng.randn(*igres, 4).astype(np.float32))
     params = {
-        "unet": unet.init(key, lres[None])["params"],
-        "imnet": imnet.init(key, jnp.zeros((1, 12)))["params"],
+        "unet": jax.jit(unet.init)(key, lres[None])["params"],
+        "imnet": jax.jit(imnet.init)(key, jnp.zeros((1, 12)))["params"],
     }
 
     out_shape = (5, 6, 6, 7)
