@@ -30,7 +30,7 @@ import numpy as np
 
 from space_time_pde_tpu.data import RB2DataLoader
 from space_time_pde_tpu.inference import (
-    make_dense_decoder, stitch_plan, stitch_weights)
+    make_dense_decoder, stitched_decode)
 from space_time_pde_tpu.train import build_models, init_state
 from space_time_pde_tpu.train.trainer import make_optimizer
 from space_time_pde_tpu.utils.checkpoint import CheckpointManager
@@ -156,19 +156,13 @@ def main():
         # normalize. Frames covered by one window divide out exactly.
         T_total = ds.data.shape[0]
         stride = args.stitch_stride or max(1, eval_nt // 2)
-        w = stitch_weights(eval_nt)[:, None, None, None]
-        acc = np.zeros((T_total, Z_hi, X_hi, 4), np.float32)
-        wacc = np.zeros((T_total, 1, 1, 1), np.float32)
-        starts = stitch_plan(T_total, eval_nt, stride)
         tq0 = time.perf_counter()
-        for wi, t0 in enumerate(starts):
-            lres = jnp.asarray(ds.full_lres_sequence(int(t0), eval_nt))
-            pred_n = np.asarray(decoder(state.params, lres))
-            acc[t0:t0 + eval_nt] += w * (
-                pred_n * ds.channel_std + ds.channel_mean)
-            wacc[t0:t0 + eval_nt] += w
+        pred, starts = stitched_decode(
+            decoder, state.params,
+            lambda t0: ds.full_lres_sequence(t0, eval_nt),
+            T_total, eval_nt, stride, (Z_hi, X_hi),
+            channel_mean=ds.channel_mean, channel_std=ds.channel_std)
         tq = time.perf_counter() - tq0
-        pred = acc / wacc
         gt = ds.data
         n_q = len(starts) * eval_nt * Z_hi * X_hi
         print(f"stitched {len(starts)} windows (stride {stride}) over "

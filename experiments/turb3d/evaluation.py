@@ -69,6 +69,16 @@ def main():
              "deterministic windows; 'custom' keeps --eval_t0 behavior")
     parser.add_argument("--save_path", type=str, default="turb3d_pred.npz")
     parser.add_argument("--query_chunk", type=int, default=32768)
+    parser.add_argument(
+        "--full_sequence", action="store_true",
+        help="decode the ENTIRE simulation: overlapping nt-frame "
+             "windows stitched with a triangular temporal cross-fade "
+             "(inference.stitch_plan/stitch_weights, same scheme as "
+             "rb2d); reports one global rel-L2 and saves the full "
+             "[T,Z,Y,X,4] prediction")
+    parser.add_argument(
+        "--stitch_stride", type=int, default=0,
+        help="window stride (frames) for --full_sequence; 0 = nt/2")
     args = parser.parse_args()
 
     mngr = CheckpointManager(args.ckpt)
@@ -149,13 +159,54 @@ def main():
 
     decoder = make_dense_decoder(unet, imnet, hi_shape,
                                  chunk=args.query_chunk, block_pts=128)
-    rels, per_chs, first_pred = [], [], None
-    for wi, t0 in enumerate(t0s):
+
+    def window_lres(t0):
         window = ds.data[t0:t0 + a.nt]            # [nt, Z, Y, X, 4]
         interp = RegularGridInterpolator(
             [np.arange(s) for s in hi_shape], window)
         lres = interp(lat_pts).reshape(*lres_sizes, -1).astype(np.float32)
-        lres = (lres - ds.channel_mean) / ds.channel_std
+        return window, (lres - ds.channel_mean) / ds.channel_std
+
+    if args.full_sequence:
+        from space_time_pde_tpu.inference import stitched_decode
+        # Stitched decode of the whole simulation (same triangular
+        # temporal cross-fade as rb2d's --full_sequence; frames covered
+        # by a single window divide out exactly).
+        T_total = n_frames
+        stride = args.stitch_stride or max(1, a.nt // 2)
+        tq0 = time.perf_counter()
+        pred, starts = stitched_decode(
+            decoder, state.params, lambda t0: window_lres(t0)[1],
+            T_total, a.nt, stride, hi_shape[1:],
+            channel_mean=ds.channel_mean, channel_std=ds.channel_std)
+        tq = time.perf_counter() - tq0
+        gt = ds.data
+        n_q = len(starts) * int(np.prod(hi_shape))
+        print(f"stitched {len(starts)} windows (stride {stride}) over "
+              f"{T_total} frames: {n_q} pts in {tq:.2f}s = "
+              f"{n_q / tq / 1e6:.2f}M pts/s (includes compile)",
+              flush=True)
+        rel = float(np.linalg.norm(pred - gt) /
+                    (np.linalg.norm(gt) + 1e-12))
+        per_ch = np.asarray([
+            float(np.linalg.norm(pred[..., c] - gt[..., c]) /
+                  (np.linalg.norm(gt[..., c]) + 1e-12))
+            for c in range(4)])
+        per_frame = np.linalg.norm(
+            (pred - gt).reshape(T_total, -1), axis=1) / (
+            np.linalg.norm(gt.reshape(T_total, -1), axis=1) + 1e-12)
+        print(f"full-sequence rel_l2 = {rel:.5f}  per-channel "
+              f"(p,u,v,w) = " + " ".join(f"{v:.5f}" for v in per_ch))
+        print(f"per-frame rel_l2: min {per_frame.min():.5f} "
+              f"median {np.median(per_frame):.5f} "
+              f"max {per_frame.max():.5f}")
+        t0s, first_pred = [], pred
+
+    rels, per_chs = [], []
+    if not args.full_sequence:
+        first_pred = None
+    for wi, t0 in enumerate(t0s):
+        window, lres = window_lres(int(t0))
         tq0 = time.perf_counter()
         pred_n = np.asarray(decoder(state.params, jnp.asarray(lres)))
         tq = time.perf_counter() - tq0
@@ -174,11 +225,12 @@ def main():
         if first_pred is None:
             first_pred = pred
         print(f"window t0={t0}: rel_l2 = {rel:.5f}", flush=True)
-    rel = float(np.mean(rels))
-    per_ch = np.mean(per_chs, axis=0)
-    print(f"rel_l2 = {rel:.5f} (std {np.std(rels):.5f} over {len(t0s)} "
-          "windows)  per-channel (p,u,v,w) = "
-          + " ".join(f"{v:.5f}" for v in per_ch))
+    if not args.full_sequence:
+        rel = float(np.mean(rels))
+        per_ch = np.mean(per_chs, axis=0)
+        print(f"rel_l2 = {rel:.5f} (std {np.std(rels):.5f} over "
+              f"{len(t0s)} windows)  per-channel (p,u,v,w) = "
+              + " ".join(f"{v:.5f}" for v in per_ch))
 
     os.makedirs(os.path.dirname(os.path.abspath(args.save_path)),
                 exist_ok=True)

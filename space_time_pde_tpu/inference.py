@@ -19,7 +19,8 @@ import numpy as np
 
 from space_time_pde_tpu.models import query_local_implicit_grid
 
-__all__ = ["make_dense_decoder", "stitch_plan", "stitch_weights"]
+__all__ = ["make_dense_decoder", "stitch_plan", "stitch_weights",
+           "stitched_decode"]
 
 
 def stitch_plan(t_total, nt, stride, t0=0):
@@ -51,6 +52,47 @@ def stitch_weights(nt):
     """
     idx = np.arange(nt, dtype=np.float32)
     return np.minimum(idx + 1.0, nt - idx)
+
+
+def stitched_decode(decoder, params, window_lres, t_total, nt, stride,
+                    spatial_shape, out_features=4,
+                    channel_mean=0.0, channel_std=1.0):
+    """Decode an entire ``t_total``-frame sequence by stitching
+    overlapping ``nt``-frame windows under the triangular cross-fade
+    (the eval CLIs' ``--full_sequence`` path, shared by the 3-D rb2d
+    and 4-D turb3d drivers).
+
+    Args:
+      decoder: a :func:`make_dense_decoder` result for ONE window's
+        dense lattice ``(nt, *spatial_shape)``.
+      params: the model param pytree passed through to ``decoder``.
+      window_lres: callable ``t0 -> lres`` producing the NORMALIZED
+        low-res encoder input for the window ``[t0, t0 + nt)``.
+      t_total: frames in the full sequence.
+      stride: window start stride (frames).
+      spatial_shape: the dense spatial lattice, e.g. ``(Z, X)`` or
+        ``(Z, Y, X)``.
+      channel_mean, channel_std: denormalization applied to each
+        window's prediction BEFORE blending (so the stitched output is
+        in physical units).
+
+    Returns:
+      ``(pred, starts)`` — ``pred`` of shape
+      ``[t_total, *spatial_shape, out_features]`` in physical units,
+      and the window start list. Frames covered by a single window
+      divide out exactly; overlapping frames cross-fade.
+    """
+    bshape = (1,) * (len(spatial_shape) + 1)
+    w = stitch_weights(nt).reshape(nt, *bshape)
+    acc = np.zeros((t_total, *spatial_shape, out_features), np.float32)
+    wacc = np.zeros((t_total, *bshape), np.float32)
+    starts = stitch_plan(t_total, nt, stride)
+    for t0 in starts:
+        pred_n = np.asarray(
+            decoder(params, jnp.asarray(window_lres(int(t0)))))
+        acc[t0:t0 + nt] += w * (pred_n * channel_std + channel_mean)
+        wacc[t0:t0 + nt] += w
+    return acc / wacc, starts
 
 
 def make_dense_decoder(unet, imnet, out_shape, chunk=65536, fused=None,

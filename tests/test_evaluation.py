@@ -110,21 +110,30 @@ def test_stitch_weights_shape_and_symmetry():
 
 
 def test_stitched_accumulation_reconstructs_global_field():
-    """The driver's --full_sequence accumulation is exact when each
-    window prediction is a slice of one global field: overlapping
-    triangular weights blend identical values, so the stitched output
-    equals the field bit-for-bit up to float summation error."""
-    from space_time_pde_tpu.inference import stitch_plan, stitch_weights
+    """The drivers' --full_sequence path (inference.stitched_decode,
+    shared by rb2d and turb3d) is exact when each window prediction is
+    a slice of one global field: overlapping triangular weights blend
+    identical values, so the stitched output equals the field up to
+    float summation error. Covers both the 3-D (T,Z,X) and 4-D
+    (T,Z,Y,X) field ranks, including denormalization."""
+    from space_time_pde_tpu.inference import stitched_decode
 
     rng = np.random.RandomState(3)
-    T_total, Z, X, C = 23, 4, 5, 4
-    field = rng.randn(T_total, Z, X, C).astype(np.float32)
-    nt, stride = 8, 3
+    for spatial in ((4, 5), (3, 4, 5)):
+        T_total, C = 23, 4
+        field = rng.randn(T_total, *spatial, C).astype(np.float32)
+        nt, stride = 8, 3
+        mean = rng.randn(C).astype(np.float32)
+        std = (0.5 + rng.rand(C)).astype(np.float32)
 
-    w = stitch_weights(nt)[:, None, None, None]
-    acc = np.zeros_like(field)
-    wacc = np.zeros((T_total, 1, 1, 1), np.float32)
-    for t0 in stitch_plan(T_total, nt, stride):
-        acc[t0:t0 + nt] += w * field[t0:t0 + nt]
-        wacc[t0:t0 + nt] += w
-    np.testing.assert_allclose(acc / wacc, field, rtol=1e-5, atol=1e-6)
+        # stub decoder: "lres" IS the window start frame; prediction is
+        # the NORMALIZED global-field slice for that window
+        def decoder(params, t0):
+            t0 = int(t0)
+            return (field[t0:t0 + nt] - mean) / std
+
+        pred, starts = stitched_decode(
+            decoder, None, lambda t0: t0, T_total, nt, stride, spatial,
+            channel_mean=mean, channel_std=std)
+        assert starts[0] == 0 and starts[-1] == T_total - nt
+        np.testing.assert_allclose(pred, field, rtol=1e-4, atol=1e-5)
