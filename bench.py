@@ -179,6 +179,12 @@ def main():
         "unit": "points/s",
         "vs_baseline": round(pts_per_sec / REFERENCE_V100_PTS_PER_SEC, 3),
         "detail": {
+            # Headline regime (since r04): sorted dense-lattice chunks
+            # (points_sorted=True), the eval CLI's actual decode
+            # pattern. Pre-r04 headlines measured random unsorted
+            # points — compare those against random_points_per_sec.
+            "headline_regime": "sorted_lattice_points",
+            "sorted_points_per_sec": round(pts_per_sec, 1),
             "device": str(jax.devices()[0]),
             "kernel": kernel,
             "bf16": cfg.model.use_bf16,

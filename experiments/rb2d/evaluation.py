@@ -81,6 +81,12 @@ def main():
         "--stitch_stride", type=int, default=0,
         help="window stride (frames) for --full_sequence; 0 = nt/2")
     parser.add_argument(
+        "--decode_dtype", choices=["auto", "bf16", "f32"], default="auto",
+        help="fused-kernel matmul dtype for the dense decode. 'auto' "
+             "follows the checkpoint's use_bf16 policy (f32-trained "
+             "models decode f32); 'bf16'/'f32' force it. The decode "
+             "path + dtype are printed with every reported number.")
+    parser.add_argument(
         "--split", choices=["custom", "val", "test"], default="custom",
         help="named split protocol (data/splits.py): 'val'/'test' pick "
              "the canonical independent-simulation file (unless "
@@ -101,6 +107,11 @@ def main():
     cfg = Config.from_dict(extra["config"]) if "config" in extra else None
     if cfg is None:
         raise RuntimeError("checkpoint has no config metadata")
+    # Training-time latent grid, from the CHECKPOINT's data config
+    # (captured before CLI overrides rewrite cfg.data for eval).
+    train_igres = (cfg.data.nt // cfg.data.downsamp_t,
+                   cfg.data.nz // cfg.data.downsamp_xz,
+                   cfg.data.nx // cfg.data.downsamp_xz)
     # CLI data flags override the checkpointed data config.
     for flag in ("data_folder", "eval_data", "nt", "nz", "nx",
                  "downsamp_t", "downsamp_xz", "lres_filter", "lres_interp"):
@@ -124,6 +135,15 @@ def main():
 
     eval_nt = args.eval_nt or cfg.data.nt
     lres0 = jnp.asarray(ds.full_lres_sequence(args.eval_t0, eval_nt))
+    # Shape-transfer guard (tests/test_shape_transfer.py): the flagship
+    # geometry extends only x, RB2D's periodic/stationary axis — the
+    # tested-safe case. z extension (boundary layers) or shrinking any
+    # axis gets the loud warning.
+    from space_time_pde_tpu.inference import igres_mismatch_note
+    note = igres_mismatch_note(lres0.shape[:3], train_igres,
+                               homogeneous_axes=(2,))
+    if note:
+        print(note, flush=True)
     unet, imnet = build_models(cfg, lres0.shape[:3])
     tx = make_optimizer(cfg)
     template = init_state(jax.random.PRNGKey(0), cfg, unet, imnet, tx)
@@ -147,9 +167,25 @@ def main():
 
     import time
 
+    if args.decode_dtype == "auto":
+        decode_dtype = jnp.bfloat16 if cfg.model.use_bf16 else jnp.float32
+    else:
+        decode_dtype = (jnp.bfloat16 if args.decode_dtype == "bf16"
+                        else jnp.float32)
     decoder = make_dense_decoder(unet, imnet, (T_hi, Z_hi, X_hi),
                                  chunk=args.query_chunk,
-                                 batch_stats=state.batch_stats)
+                                 batch_stats=state.batch_stats,
+                                 compute_dtype=decode_dtype)
+    prov = decoder.provenance
+    print(f"decode provenance: backend={prov['backend']} "
+          f"kernel={prov['kernel']} dtype={prov['compute_dtype']} "
+          f"chunk={prov['chunk']} block_pts={prov['block_pts']} "
+          f"eval_data={cfg.data.eval_data} step={int(state.step)} "
+          f"windows={'full_sequence' if args.full_sequence else list(map(int, t0s))}",
+          flush=True)
+    if args.full_sequence and ({"eval_t0", "eval_windows"} & explicit):
+        print("NOTE: --full_sequence decodes the whole simulation; "
+              "--eval_t0/--eval_windows are ignored.", flush=True)
     if args.full_sequence:
         # Stitched decode of the whole simulation: accumulate each
         # window's prediction under a triangular temporal weight, then

@@ -70,6 +70,11 @@ def main():
     parser.add_argument("--save_path", type=str, default="turb3d_pred.npz")
     parser.add_argument("--query_chunk", type=int, default=32768)
     parser.add_argument(
+        "--decode_dtype", choices=["auto", "bf16", "f32"], default="auto",
+        help="fused-kernel matmul dtype for the dense decode. 'auto' "
+             "follows the checkpoint's use_bf16 policy; the decode "
+             "path + dtype are printed with every reported number.")
+    parser.add_argument(
         "--full_sequence", action="store_true",
         help="decode the ENTIRE simulation: overlapping nt-frame "
              "windows stitched with a triangular temporal cross-fade "
@@ -136,16 +141,10 @@ def main():
     # Rebuild the encoder for this window's lres shape if it differs
     # from the training crop (igres is a static UNet4d attribute).
     if tuple(lres_sizes) != tuple(ds.lres_shape):
-        print(
-            "WARNING: eval-window latent grid "
-            f"{tuple(lres_sizes)} != training igres "
-            f"{tuple(ds.lres_shape)}. Conv encoders do NOT reliably "
-            "shape-generalize: GroupNorm statistics shift with grid "
-            "size (a 16^3-crop-trained UNet4d produced 50x-inflated "
-            "latents on the 2x grid — rel-L2 18 vs 0.007 in-shape). "
-            "For reported numbers train with crops spanning the full "
-            "spatial domain (--nz/--ny/--nx = data size) so the "
-            "igres here matches training.", flush=True)
+        from space_time_pde_tpu.inference import igres_mismatch_note
+        # No axis is tested-safe in 4-D (the r4 v1 failure was exactly
+        # this rebuild): always the loud warning.
+        print(igres_mismatch_note(lres_sizes, ds.lres_shape), flush=True)
         unet = UNet4d(in_features=4, out_features=a.lat_dims,
                       igres=tuple(lres_sizes), nf=a.unet_nf,
                       mf=a.unet_mf)
@@ -157,8 +156,24 @@ def main():
 
     import time
 
+    if args.decode_dtype == "auto":
+        decode_dtype = jnp.bfloat16 if cfg.model.use_bf16 else jnp.float32
+    else:
+        decode_dtype = (jnp.bfloat16 if args.decode_dtype == "bf16"
+                        else jnp.float32)
     decoder = make_dense_decoder(unet, imnet, hi_shape,
-                                 chunk=args.query_chunk, block_pts=128)
+                                 chunk=args.query_chunk, block_pts=128,
+                                 compute_dtype=decode_dtype)
+    prov = decoder.provenance
+    print(f"decode provenance: backend={prov['backend']} "
+          f"kernel={prov['kernel']} dtype={prov['compute_dtype']} "
+          f"chunk={prov['chunk']} block_pts={prov['block_pts']} "
+          f"eval_data={eval_data} "
+          f"windows={'full_sequence' if args.full_sequence else list(map(int, t0s))}",
+          flush=True)
+    if args.full_sequence and (args.eval_t0 != 0 or args.eval_windows != 1):
+        print("NOTE: --full_sequence decodes the whole simulation; "
+              "--eval_t0/--eval_windows are ignored.", flush=True)
 
     def window_lres(t0):
         window = ds.data[t0:t0 + a.nt]            # [nt, Z, Y, X, 4]

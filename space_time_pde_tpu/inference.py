@@ -20,7 +20,50 @@ import numpy as np
 from space_time_pde_tpu.models import query_local_implicit_grid
 
 __all__ = ["make_dense_decoder", "stitch_plan", "stitch_weights",
-           "stitched_decode"]
+           "stitched_decode", "igres_mismatch_note"]
+
+
+def igres_mismatch_note(eval_igres, train_igres, homogeneous_axes=()):
+    """Shape-transfer guard shared by the eval CLIs: a warning string
+    when the eval-time latent grid differs from the training igres,
+    else None.
+
+    GroupNorm conv encoders do not unconditionally shape-generalize —
+    normalization statistics are spatial averages, so they shift with
+    grid size (round-4 measured 50x-inflated latents and rel-L2 ~13
+    when a 16^3-crop-trained UNet4d decoded 32^3 windows). Extension
+    along a statistically HOMOGENEOUS axis is the tested-safe case
+    (tests/test_shape_transfer.py): the spatial averages converge to
+    the same values over a wider extent of a stationary field.
+
+    Args:
+      eval_igres, train_igres: latent grid tuples (same length).
+      homogeneous_axes: axis indices whose extension is regression-
+        tested safe (rb2d passes (2,): x is periodic/stationary).
+    """
+    eval_igres, train_igres = tuple(eval_igres), tuple(train_igres)
+    if eval_igres == train_igres:
+        return None
+    safe = all(
+        e == t or (i in homogeneous_axes and e > t)
+        for i, (e, t) in enumerate(zip(eval_igres, train_igres)))
+    if safe:
+        return (
+            f"NOTE: eval latent grid {eval_igres} != training igres "
+            f"{train_igres}; rebuilding the encoder at the eval grid. "
+            "This extension is along a statistically homogeneous axis "
+            "only — regression-tested safe for GroupNorm (latent stats "
+            "bounded), but check latent statistics if the data family "
+            "changes.")
+    return (
+        f"WARNING: eval latent grid {eval_igres} != training igres "
+        f"{train_igres}. Conv encoders do NOT reliably shape-"
+        "generalize: GroupNorm statistics shift with grid size (a "
+        "16^3-crop-trained UNet4d produced 50x-inflated latents on "
+        "the 2x grid — rel-L2 18 vs 0.007 in-shape). For reported "
+        "numbers train with crops spanning the full spatial domain so "
+        "the eval igres matches training, or use --norm batch (running "
+        "stats are grid-size invariant).")
 
 
 def stitch_plan(t_total, nt, stride, t0=0):
@@ -96,7 +139,8 @@ def stitched_decode(decoder, params, window_lres, t_total, nt, stride,
 
 
 def make_dense_decoder(unet, imnet, out_shape, chunk=65536, fused=None,
-                       batch_stats=None, interpret=False, block_pts=512):
+                       batch_stats=None, interpret=False, block_pts=512,
+                       compute_dtype=None):
     """Build a one-dispatch dense decoder ``decode(params, lres)``.
 
     Args:
@@ -114,6 +158,13 @@ def make_dense_decoder(unet, imnet, out_shape, chunk=65536, fused=None,
         CPU exercises the exact eval decode path).
       block_pts: fused-kernel point-block size (512 for 3-D, 128 for
         the 16-corner 4-D kernel).
+      compute_dtype: fused-kernel matmul dtype. None keeps the kernel
+        default (bf16). Eval CLIs pass this from the checkpoint's
+        ``use_bf16`` policy so an f32-trained model also DECODES in f32
+        — previously the fused path silently decoded bf16 regardless
+        (measured 0.16% relative vs f32 at the flagship config, but the
+        reported numbers' provenance should not depend on an
+        undocumented dtype).
 
     Returns:
       ``decode(params, lres) -> [*out_shape, out_features]`` device
@@ -125,6 +176,9 @@ def make_dense_decoder(unet, imnet, out_shape, chunk=65536, fused=None,
         from space_time_pde_tpu.ops.fused_query import (
             fused_query_local_implicit_grid,
         )
+    fused_kwargs = {}
+    if compute_dtype is not None:
+        fused_kwargs["compute_dtype"] = jnp.dtype(compute_dtype)
 
     dim = len(out_shape)
     axes = [np.linspace(0, 1, n, dtype=np.float32) for n in out_shape]
@@ -155,7 +209,8 @@ def make_dense_decoder(unet, imnet, out_shape, chunk=65536, fused=None,
                 return fused_query_local_implicit_grid(
                     imnet, params["imnet"], latent, pts_c[None],
                     block_pts=block_pts, pad_to=0,
-                    points_sorted=True, interpret=interpret)[0]
+                    points_sorted=True, interpret=interpret,
+                    **fused_kwargs)[0]
         else:
             def body(pts_c):
                 return query_local_implicit_grid(
@@ -165,4 +220,16 @@ def make_dense_decoder(unet, imnet, out_shape, chunk=65536, fused=None,
         out = jax.lax.map(body, pts_chunks)
         return out.reshape(-1, out.shape[-1])[:n].reshape(*out_shape, -1)
 
+    # Provenance record: the eval CLIs print this so every reported
+    # number carries its decode path + dtype + geometry.
+    decode.provenance = {
+        "backend": jax.devices()[0].platform,
+        "kernel": ("pallas-fused" + (" (interpret)" if interpret else "")
+                   if fused else "jnp"),
+        "compute_dtype": (str(jnp.dtype(compute_dtype)) if fused and
+                          compute_dtype is not None
+                          else ("bfloat16" if fused else "float32")),
+        "out_shape": tuple(out_shape), "chunk": int(chunk),
+        "block_pts": int(block_pts),
+    }
     return decode

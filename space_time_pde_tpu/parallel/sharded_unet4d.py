@@ -144,6 +144,24 @@ class ShardedUNet4d(nn.Module):
         del train                      # GroupNorm only (matches UNet4d)
         lv = self.levels
         act = get_activation(self.activation, self.negative_slope)
+        # Same input validation as UNet4d.__call__ (models/unet4d.py),
+        # adapted to the x-sharded layout: the T/Z/Y axes must match the
+        # global igres, the local x shard must tile the global X, and
+        # every axis (incl. the local x) must stay even through all
+        # levels — otherwise the mismatch surfaces later as an opaque
+        # concat/shape error inside shard_map.
+        if tuple(x.shape[1:4]) != tuple(self.igres[:3]):
+            raise ValueError(
+                f"ShardedUNet4d built for global igres="
+                f"{tuple(self.igres)}, got input T/Z/Y {x.shape[1:4]}")
+        if self.igres[3] % x.shape[4] != 0:
+            raise ValueError(
+                f"local x {x.shape[4]} does not tile global X "
+                f"{self.igres[3]}")
+        for r in self.igres[:3]:
+            if r % (2 ** lv) != 0:
+                raise ValueError(
+                    f"igres {tuple(self.igres)} not divisible by 2^{lv}")
         if x.shape[4] % (2 ** lv) != 0:
             raise ValueError(
                 f"local x {x.shape[4]} not divisible by 2^{lv}")

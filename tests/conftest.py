@@ -33,7 +33,8 @@ jax.config.update("jax_num_cpu_devices", 8)
 #    are as slow as the 1st). Don't configure one.
 # XLA parses XLA_FLAGS lazily at first backend use, so setting it here
 # (after the sitecustomize jax import, before any compile) works.
-os.environ["XLA_FLAGS"] = "--xla_backend_optimization_level=0"
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
+                           " --xla_backend_optimization_level=0").strip()
 
 # Repo root on sys.path so `space_time_pde_tpu` imports without install.
 _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -53,7 +54,8 @@ def subprocess_env(cache_suffix: str = "", **extra):
     env = dict(
         os.environ,
         STPDE_PLATFORM="cpu",
-        XLA_FLAGS="--xla_backend_optimization_level=0",
+        XLA_FLAGS=(os.environ.get("XLA_FLAGS", "") +
+                   " --xla_backend_optimization_level=0").strip(),
     )
     env.update({k: str(v) for k, v in extra.items()})
     return env

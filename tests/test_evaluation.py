@@ -79,6 +79,43 @@ def test_dense_query_fused_windowed_matches_jnp():
         pred.reshape(-1, 4), np.asarray(want[0]), rtol=0.05, atol=0.02)
 
 
+def test_dense_decoder_compute_dtype_plumbed():
+    """make_dense_decoder(compute_dtype=f32) reaches the fused kernel:
+    the f32 decode matches the jnp oracle to f32 tolerance (the bf16
+    default only matches to ~5e-2), and the provenance record says so
+    — the eval CLIs print it with every reported number (round-5:
+    decode dtype now follows the checkpoint's use_bf16 policy)."""
+    from space_time_pde_tpu.inference import make_dense_decoder
+    from space_time_pde_tpu.models import query_local_implicit_grid
+
+    igres = (4, 8, 8)
+    unet = UNet3d(in_features=4, out_features=8, igres=igres, nf=8)
+    imnet = ImNet(dim=3, in_features=8, out_features=4, nf=2)
+    key = jax.random.PRNGKey(2)
+    rng = np.random.RandomState(2)
+    lres = jnp.asarray(rng.randn(*igres, 4).astype(np.float32))
+    params = {
+        "unet": jax.jit(unet.init)(key, lres[None])["params"],
+        "imnet": jax.jit(imnet.init)(key, jnp.zeros((1, 11)))["params"],
+    }
+    out_shape = (3, 4, 32)
+    dec = make_dense_decoder(unet, imnet, out_shape, chunk=256,
+                             fused=True, interpret=True,
+                             compute_dtype=jnp.float32)
+    assert dec.provenance["compute_dtype"] == "float32"
+    assert dec.provenance["kernel"].startswith("pallas-fused")
+    pred = np.asarray(dec(params, lres))
+
+    latent = unet.apply({"params": params["unet"]}, lres[None])
+    axes = [np.linspace(0, 1, n, dtype=np.float32) for n in out_shape]
+    TT, ZZ, XX = np.meshgrid(*axes, indexing="ij")
+    pts = jnp.asarray(np.stack([TT, ZZ, XX], -1).reshape(1, -1, 3))
+    want = np.asarray(query_local_implicit_grid(
+        lambda v: imnet.apply({"params": params["imnet"]}, v),
+        latent, pts)[0]).reshape(*out_shape, 4)
+    np.testing.assert_allclose(pred, want, rtol=2e-4, atol=2e-5)
+
+
 def test_stitch_plan_covers_every_frame():
     from space_time_pde_tpu.inference import stitch_plan
 
