@@ -87,6 +87,16 @@ def main():
              "models decode f32); 'bf16'/'f32' force it. The decode "
              "path + dtype are printed with every reported number.")
     parser.add_argument(
+        "--matmul_precision",
+        choices=["default", "tensorfloat32", "highest"], default="default",
+        help="jax_default_matmul_precision for the ENCODER convs. On "
+             "TPU, 'default' multiplies f32 operands in bf16 (one MXU "
+             "pass) — the same numerics training used; 'highest' uses "
+             "the 6-pass near-exact-f32 scheme. The backend+precision "
+             "pair is the provenance of every reported number "
+             "(BASELINE.md: CPU f32 evals of a TPU-default-precision-"
+             "trained model differ measurably).")
+    parser.add_argument(
         "--split", choices=["custom", "val", "test"], default="custom",
         help="named split protocol (data/splits.py): 'val'/'test' pick "
              "the canonical independent-simulation file (unless "
@@ -101,6 +111,10 @@ def main():
     for action in parser._actions:
         action.default = argparse.SUPPRESS
     explicit = set(vars(parser.parse_known_args()[0]))
+
+    if args.matmul_precision != "default":
+        jax.config.update("jax_default_matmul_precision",
+                          args.matmul_precision)
 
     mngr = CheckpointManager(args.ckpt)
     raw_state, extra = mngr.restore()
@@ -179,6 +193,7 @@ def main():
     prov = decoder.provenance
     print(f"decode provenance: backend={prov['backend']} "
           f"kernel={prov['kernel']} dtype={prov['compute_dtype']} "
+          f"matmul_precision={args.matmul_precision} "
           f"chunk={prov['chunk']} block_pts={prov['block_pts']} "
           f"eval_data={cfg.data.eval_data} step={int(state.step)} "
           f"windows={'full_sequence' if args.full_sequence else list(map(int, t0s))}",
@@ -224,16 +239,36 @@ def main():
     all_rel, all_per_ch = [], []
     if not args.full_sequence:
         pred = gt = None
+    # Dispatch every window's decode before fetching any result: the
+    # decodes queue on the device, so window i's dense-field D2H fetch
+    # overlaps window i+1's encode+decode (through this environment's
+    # remote-TPU tunnel the 16 MB fetch is a large share of the
+    # per-window wall time — decomposition printed below and recorded
+    # in BASELINE.md).
+    th0 = time.perf_counter()
+    lres_list = [
+        lres0 if int(t0) == args.eval_t0
+        else jnp.asarray(ds.full_lres_sequence(int(t0), eval_nt))
+        for t0 in t0s]
+    t_host = time.perf_counter() - th0
+    td0 = time.perf_counter()
+    outs = [decoder(state.params, lres) for lres in lres_list]
+    if outs:
+        # Scalar fetch as the sync point (the tunnel's
+        # block_until_ready under-synchronizes, BASELINE.md): after
+        # this, window 0's compute (incl. compile) is done and windows
+        # 1..N-1 are executing behind the fetches below.
+        _ = float(outs[0].ravel()[0])
+    t_first = time.perf_counter() - td0
+    n_q = T_hi * Z_hi * X_hi
+    t_fetch = []
     for wi, t0 in enumerate(t0s):
-        lres = (lres0 if t0 == args.eval_t0
-                else jnp.asarray(ds.full_lres_sequence(int(t0), eval_nt)))
-        tq0 = time.perf_counter()
-        pred_n = np.asarray(decoder(state.params, lres))
-        tq = time.perf_counter() - tq0
-        n_q = T_hi * Z_hi * X_hi
-        print(f"  decoded {n_q} pts in {tq:.2f}s = {n_q / tq / 1e6:.2f}M "
-              f"pts/s{' (includes compile)' if wi == 0 else ''}",
-              flush=True)
+        tf0 = time.perf_counter()
+        pred_n = np.asarray(outs[wi])
+        tq = time.perf_counter() - tf0
+        t_fetch.append(tq)
+        print(f"  window t0={int(t0)}: fetch(+overlapped compute) "
+              f"{tq:.2f}s", flush=True)
         pred_w = pred_n * ds.channel_std + ds.channel_mean    # denormalize
         gt_w = ds.data[t0:t0 + eval_nt]
         rel = np.linalg.norm(pred_w - gt_w) / (np.linalg.norm(gt_w)
@@ -248,6 +283,19 @@ def main():
             pred, gt = pred_w, gt_w
         print(f"window t0={t0}: rel_l2 = {rel:.5f}", flush=True)
 
+    if not args.full_sequence and t0s is not None and len(t0s):
+        total = t_host + t_first + sum(t_fetch)
+        n_all = len(t0s) * n_q
+        line = (f"  pipeline: lres host assembly {t_host:.2f}s + "
+                f"window-0 compute {t_first:.2f}s (incl. compile) + "
+                f"fetch/overlapped-compute {sum(t_fetch):.2f}s = "
+                f"{total:.2f}s -> {n_all / total / 1e6:.2f}M pts/s "
+                f"end to end")
+        if len(t0s) > 1:
+            steady = sum(t_fetch[1:])
+            line += (f"; steady-state (post-compile windows) "
+                     f"{(len(t0s) - 1) * n_q / steady / 1e6:.2f}M pts/s")
+        print(line, flush=True)
     if not args.full_sequence:
         rel_l2 = float(np.mean(all_rel))
         per_ch = np.mean(np.asarray(all_per_ch), axis=0)

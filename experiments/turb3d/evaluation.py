@@ -75,6 +75,11 @@ def main():
              "follows the checkpoint's use_bf16 policy; the decode "
              "path + dtype are printed with every reported number.")
     parser.add_argument(
+        "--matmul_precision",
+        choices=["default", "tensorfloat32", "highest"], default="default",
+        help="jax_default_matmul_precision for the encoder convs "
+             "(see experiments/rb2d/evaluation.py --help)")
+    parser.add_argument(
         "--full_sequence", action="store_true",
         help="decode the ENTIRE simulation: overlapping nt-frame "
              "windows stitched with a triangular temporal cross-fade "
@@ -85,6 +90,10 @@ def main():
         "--stitch_stride", type=int, default=0,
         help="window stride (frames) for --full_sequence; 0 = nt/2")
     args = parser.parse_args()
+
+    if args.matmul_precision != "default":
+        jax.config.update("jax_default_matmul_precision",
+                          args.matmul_precision)
 
     mngr = CheckpointManager(args.ckpt)
     _, extra = mngr.restore()
@@ -167,6 +176,7 @@ def main():
     prov = decoder.provenance
     print(f"decode provenance: backend={prov['backend']} "
           f"kernel={prov['kernel']} dtype={prov['compute_dtype']} "
+          f"matmul_precision={args.matmul_precision} "
           f"chunk={prov['chunk']} block_pts={prov['block_pts']} "
           f"eval_data={eval_data} "
           f"windows={'full_sequence' if args.full_sequence else list(map(int, t0s))}",
@@ -220,17 +230,30 @@ def main():
     rels, per_chs = [], []
     if not args.full_sequence:
         first_pred = None
-    for wi, t0 in enumerate(t0s):
+    # Dispatch each window's decode as soon as its host-side lres is
+    # assembled: window i+1's scipy interpolation and window i's D2H
+    # fetch both overlap window i's device compute (same pipelining as
+    # the rb2d driver; decomposition recorded in BASELINE.md).
+    windows, outs = [], []
+    th0 = time.perf_counter()
+    for t0 in t0s:
         window, lres = window_lres(int(t0))
-        tq0 = time.perf_counter()
-        pred_n = np.asarray(decoder(state.params, jnp.asarray(lres)))
-        tq = time.perf_counter() - tq0
-        n_q = int(np.prod(hi_shape))
-        print(f"  decoded {n_q} pts in {tq:.2f}s = {n_q / tq / 1e6:.2f}M "
-              f"pts/s{' (includes compile)' if wi == 0 else ''}",
-              flush=True)
+        windows.append(window)
+        outs.append(decoder(state.params, jnp.asarray(lres)))
+    if outs:
+        _ = float(outs[0].ravel()[0])   # tunnel-safe sync point
+    t_first = time.perf_counter() - th0
+    n_q = int(np.prod(hi_shape))
+    t_fetch = []
+    for wi, t0 in enumerate(t0s):
+        tf0 = time.perf_counter()
+        pred_n = np.asarray(outs[wi])
+        tq = time.perf_counter() - tf0
+        t_fetch.append(tq)
+        print(f"  window t0={int(t0)}: fetch(+overlapped compute) "
+              f"{tq:.2f}s", flush=True)
         pred = pred_n * ds.channel_std + ds.channel_mean
-        gt = window
+        gt = windows[wi]
         rel = float(np.linalg.norm(pred - gt) /
                     (np.linalg.norm(gt) + 1e-12))
         per_chs.append([float(np.linalg.norm(pred[..., c] - gt[..., c]) /
@@ -240,6 +263,17 @@ def main():
         if first_pred is None:
             first_pred = pred
         print(f"window t0={t0}: rel_l2 = {rel:.5f}", flush=True)
+    if not args.full_sequence and len(t0s):
+        total = t_first + sum(t_fetch)
+        line = (f"  pipeline: host assembly + window-0 compute "
+                f"{t_first:.2f}s (incl. compile) + fetch/overlapped-"
+                f"compute {sum(t_fetch):.2f}s = {total:.2f}s -> "
+                f"{len(t0s) * n_q / total / 1e6:.2f}M pts/s end to end")
+        if len(t0s) > 1:
+            steady = sum(t_fetch[1:])
+            line += (f"; steady-state (post-compile windows) "
+                     f"{(len(t0s) - 1) * n_q / steady / 1e6:.2f}M pts/s")
+        print(line, flush=True)
     if not args.full_sequence:
         rel = float(np.mean(rels))
         per_ch = np.mean(per_chs, axis=0)

@@ -130,11 +130,26 @@ def stitched_decode(decoder, params, window_lres, t_total, nt, stride,
     acc = np.zeros((t_total, *spatial_shape, out_features), np.float32)
     wacc = np.zeros((t_total, *bshape), np.float32)
     starts = stitch_plan(t_total, nt, stride)
+
+    # Keep up to `depth` windows' decodes in flight: window i's D2H
+    # fetch + host accumulate overlap the device compute of windows
+    # i+1..i+depth (each in-flight window holds one dense output,
+    # ~16 MB at the flagship geometries, in HBM).
+    depth = 8
+    pending = []
+
+    def drain(keep):
+        while len(pending) > keep:
+            t0, out = pending.pop(0)
+            pred_n = np.asarray(out)
+            acc[t0:t0 + nt] += w * (pred_n * channel_std + channel_mean)
+            wacc[t0:t0 + nt] += w
+
     for t0 in starts:
-        pred_n = np.asarray(
-            decoder(params, jnp.asarray(window_lres(int(t0)))))
-        acc[t0:t0 + nt] += w * (pred_n * channel_std + channel_mean)
-        wacc[t0:t0 + nt] += w
+        pending.append(
+            (t0, decoder(params, jnp.asarray(window_lres(int(t0))))))
+        drain(depth - 1)
+    drain(0)
     return acc / wacc, starts
 
 
