@@ -82,8 +82,30 @@ def _recovery_base_cmd(tmp_path):
     ]
 
 
+def test_train_cli_smoke(tmp_path):
+    """The per-driver fast CLI smoke kept in the default run (the
+    multi-minute recovery scenarios below are opt-in `slow`): one
+    healthy epoch of the rb2d train CLI exits 0, prints finite
+    metrics, and writes a restorable checkpoint."""
+    log_dir, base = _recovery_base_cmd(tmp_path)
+    out = subprocess.run(
+        base + ["--epochs", "1", "--lr", "1e-3"],
+        env=subprocess_env(), capture_output=True, text=True, timeout=540)
+    assert out.returncode == 0, out.stdout[-3000:] + out.stderr[-3000:]
+    epoch_lines = [l for l in out.stdout.splitlines()
+                   if l.startswith("epoch ")]
+    assert epoch_lines, out.stdout[-2000:]
+    assert all("nan" not in l and "inf" not in l for l in epoch_lines), \
+        epoch_lines
+    assert (log_dir / "checkpoints").is_dir()
+
+
+@pytest.mark.slow
 def test_driver_cliff_recovery(tmp_path):
-    """Phase 1 trains one healthy epoch (writes a checkpoint). Phase 2
+    """[slow, opt-in: pytest -m slow — two full-interpreter train-CLI
+    runs, ~2 min on this 1-core box; the healthy-epoch half of this
+    scenario stays in the default run as test_train_cli_smoke]
+    Phase 1 trains one healthy epoch (writes a checkpoint). Phase 2
     resumes with an absurd lr: the first epoch explodes, the driver
     must print CLIFF RECOVERY, restore, continue at
     lr x recovery_lr_factor (sane again) and finish with exit 0."""

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from conftest import load_driver  # noqa: E402
 
@@ -39,17 +40,10 @@ def test_dense_query4d_matches_direct_query():
         pred.reshape(-1, 4), np.asarray(want[0]), rtol=1e-5, atol=1e-5)
 
 
-def test_turb3d_cli_space_devices_sharded_encoder(tmp_path):
-    """CLI-level smoke of `turb3d/train.py --space_devices 2
-    --sharded_encoder` on a 2-virtual-CPU-device mesh: the 4-D
-    dp x space layout with the halo-conv ShardedUNet4d trains one
-    epoch, saves a restorable checkpoint (plain-UNet4d pytree), and
-    prints finite metrics (VERDICT r3 weak #8)."""
+def _turb3d_cli_base(tmp_path):
     import os
-    import subprocess
     import sys
 
-    from conftest import subprocess_env
     from space_time_pde_tpu.data import abc_flow_fields
     from space_time_pde_tpu.data.generator import save_npz
 
@@ -57,7 +51,7 @@ def test_turb3d_cli_space_devices_sharded_encoder(tmp_path):
     save_npz(str(tmp_path / "abc.npz"),
              abc_flow_fields(nt=8, nz=8, ny=8, nx=8, dt=0.05))
     log_dir = tmp_path / "log"
-    argv = [
+    return log_dir, [
         sys.executable, "-u",
         os.path.join(_ROOT, "experiments", "turb3d", "train.py"),
         "--data_folder", str(tmp_path),
@@ -69,20 +63,56 @@ def test_turb3d_cli_space_devices_sharded_encoder(tmp_path):
         "--pseudo_epoch_size", "4", "--batch_size_per_gpu", "1",
         "--alpha_pde", "0.1", "--epochs", "1", "--lr", "1e-3",
         "--log_dir", str(log_dir), "--device_data", "0",
-        "--space_devices", "2", "--sharded_encoder",
     ]
-    env = subprocess_env(STPDE_CPU_DEVICES=2)
-    out = subprocess.run(argv, env=env, capture_output=True, text=True,
-                         timeout=540)
+
+
+def _assert_healthy_run(out, log_dir):
     assert out.returncode == 0, out.stdout[-3000:] + out.stderr[-3000:]
-    assert "dp x space mesh: data=1, space=2" in out.stdout, \
-        out.stdout[-2000:]
     epoch_lines = [l for l in out.stdout.splitlines()
                    if l.startswith("epoch ")]
     assert epoch_lines and all(
         "nan" not in l and "inf" not in l for l in epoch_lines), \
         out.stdout[-2000:]
     assert (log_dir / "checkpoints").is_dir()
+
+
+def test_turb3d_train_cli_smoke(tmp_path):
+    """The turb3d driver's fast CLI smoke kept in the default run: one
+    single-device epoch exits 0, prints finite metrics, and writes a
+    checkpoint (the dp x space sharded-encoder CLI variant below is
+    opt-in `slow`; its library path stays default-covered by
+    tests/test_sharded_unet4d.py)."""
+    import subprocess
+
+    from conftest import subprocess_env
+
+    log_dir, argv = _turb3d_cli_base(tmp_path)
+    out = subprocess.run(argv, env=subprocess_env(), capture_output=True,
+                         text=True, timeout=540)
+    _assert_healthy_run(out, log_dir)
+
+
+@pytest.mark.slow
+def test_turb3d_cli_space_devices_sharded_encoder(tmp_path):
+    """[slow, opt-in: pytest -m slow — a full-interpreter train-CLI
+    compile of the shard_map 4-D step, ~2.5 min on this 1-core box]
+    CLI-level smoke of `turb3d/train.py --space_devices 2
+    --sharded_encoder` on a 2-virtual-CPU-device mesh: the 4-D
+    dp x space layout with the halo-conv ShardedUNet4d trains one
+    epoch, saves a restorable checkpoint (plain-UNet4d pytree), and
+    prints finite metrics (VERDICT r3 weak #8)."""
+    import subprocess
+
+    from conftest import subprocess_env
+
+    log_dir, argv = _turb3d_cli_base(tmp_path)
+    argv += ["--space_devices", "2", "--sharded_encoder"]
+    env = subprocess_env(STPDE_CPU_DEVICES=2)
+    out = subprocess.run(argv, env=env, capture_output=True, text=True,
+                         timeout=540)
+    assert "dp x space mesh: data=1, space=2" in out.stdout, \
+        out.stdout[-2000:]
+    _assert_healthy_run(out, log_dir)
 
 
 def test_turb3d_config_roundtrip():
