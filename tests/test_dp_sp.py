@@ -82,8 +82,13 @@ def test_make_dp_sp_batch_pairs_and_padding(setup):
         assert not orig  # every original point routed exactly once
 
 
+@pytest.mark.slow
 def test_dp_sp_multi_step_matches_sequential(setup):
-    """n_inner=G scan-chained dp x sp steps == G sequential steps."""
+    """[slow, opt-in: pytest -m slow — compiles a second scan-of-steps
+    dp x sp graph, ~30 s; compositional coverage: multi-step ==
+    sequential is default-tested in test_trainer.py and dp x sp ==
+    single device in test_dp_sp_step_matches_single_device]
+    n_inner=G scan-chained dp x sp steps == G sequential steps."""
     from space_time_pde_tpu.parallel.dp_sp import stack_dp_sp_batches
 
     cfg, ds, unet, imnet = setup

@@ -106,8 +106,13 @@ def test_dp_step_with_pde_loss_runs(setup):
     state, _ = dp_step(state, batch)  # reuses compiled graph
 
 
+@pytest.mark.slow
 def test_dp_multi_step_matches_sequential(setup):
-    """make_dp_multi_step(G) == G sequential make_dp_train_step calls."""
+    """[slow, opt-in: pytest -m slow — compiles a second scan-of-steps
+    shard_map graph, ~35 s; compositional coverage: multi-step ==
+    sequential is default-tested in test_trainer.py and dp == single
+    device in test_dp_step_matches_single_device]
+    make_dp_multi_step(G) == G sequential make_dp_train_step calls."""
     import optax
 
     from space_time_pde_tpu.parallel import make_dp_multi_step
