@@ -1,20 +1,23 @@
 #!/bin/bash
 # Beltrami realization regeneration: canonical val/test seeds (7, 123)
-# + train seeds 42, 100-299 (the seq loop explicitly skips the
-# canonical held-out seeds; they are generated only from the leading
-# canonical list).
+# are generated unconditionally in their own loop; the train seq loop
+# (42, 100-299) skips them so a held-out seed is never (re)generated
+# under a train-seed code path. (A single merged loop with an
+# `S -ge 100 && S -eq 123 && continue` guard skipped the CANONICAL
+# occurrence of 123 too — s123 was silently never written.)
 cd /root/repo
-for S in 7 123 42 $(seq 100 299); do
-  if [ $S -ge 100 ]; then
-    [ $S -eq 123 ] && continue   # canonical test seed, never a train seed
-    [ $S -eq 7 ] && continue     # canonical val seed (outside seq range;
-                                 # guard kept for future range edits)
-  fi
-  f=data/beltrami_s${S}.npz
+gen() {
+  f=data/beltrami_s${1}.npz
   if [ ! -f "$f" ]; then
-    python experiments/turb3d/generate_data.py --seed $S --out "$f" \
+    python experiments/turb3d/generate_data.py --seed $1 --out "$f" \
       > /dev/null || exit 1
     echo "wrote $f"
   fi
+}
+for S in 7 123; do gen $S; done          # canonical held-out seeds
+for S in 42 $(seq 100 299); do
+  [ $S -eq 123 ] && continue             # never a train seed
+  [ $S -eq 7 ] && continue
+  gen $S
 done
 echo DONE
