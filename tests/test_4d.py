@@ -150,8 +150,11 @@ def test_abc_generator_and_4d_dataset(tmp_path):
     assert len(et) == 4 and et[0] == pytest.approx(7 * 0.1)
 
 
+@pytest.mark.slow
 def test_4d_pipeline_trains_on_abc_data(tmp_path):
-    """Full 4-D slice: ABC data -> UNet4d -> 16-corner query -> ns3d
+    """[slow: full 4-D driver pipeline on ABC data; the 4-D train-step
+    graph itself stays default via test_4d_end_to_end_train_step]
+    Full 4-D slice: ABC data -> UNet4d -> 16-corner query -> ns3d
     physics loss -> a few optimizer steps reduce the loss."""
     import optax
     from space_time_pde_tpu.data import Field4DDataset, abc_flow_fields, \

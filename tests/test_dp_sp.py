@@ -166,6 +166,7 @@ def test_dp_sp_step_matches_single_device(setup):
         new_state.params, ref_params)
 
 
+@pytest.mark.slow
 def test_dp_sp_step_with_pde_loss(setup):
     cfg, ds, unet, imnet = setup
     cfg2 = Config.from_dict(cfg.to_dict())
@@ -187,8 +188,14 @@ def test_dp_sp_step_with_pde_loss(setup):
     state, _ = step(state, placed)
 
 
+@pytest.mark.slow
 def test_dp_sp_4d_shard_count_invariance(tmp_path):
-    """4-D (config #5): the dp x sp step on a space=2 mesh matches the
+    """[slow: pde-on variant; dp_sp core equivalence stays default via
+    test_dp_sp_step_matches_single_device, the jet PDE loss via
+    test_fused_jet.py/test_jet.py]
+    [slow: 1-vs-4-shard invariance re-proof; 4-D sharded-encoder
+    parity stays default via test_sharded_unet4d.py]
+    4-D (config #5): the dp x sp step on a space=2 mesh matches the
     space=1 mesh on the same points — sharded latent + binned queries
     are invariant to the shard count, reg AND ns3d pde losses."""
     from space_time_pde_tpu.data import (

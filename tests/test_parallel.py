@@ -83,6 +83,7 @@ def test_dp_step_matches_single_device(setup):
         s8.params, s1.params)
 
 
+@pytest.mark.slow
 def test_dp_step_with_pde_loss_runs(setup):
     from space_time_pde_tpu.physics import get_rb2_pde_layer
 
@@ -108,7 +109,9 @@ def test_dp_step_with_pde_loss_runs(setup):
 
 @pytest.mark.slow
 def test_dp_multi_step_matches_sequential(setup):
-    """[slow, opt-in: pytest -m slow — compiles a second scan-of-steps
+    """[slow: pde-on variant; dp core equivalence stays default via
+    test_dp_step_matches_single_device]
+    [slow, opt-in: pytest -m slow — compiles a second scan-of-steps
     shard_map graph, ~35 s; compositional coverage: multi-step ==
     sequential is default-tested in test_trainer.py and dp == single
     device in test_dp_step_matches_single_device]

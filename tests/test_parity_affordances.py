@@ -53,8 +53,11 @@ def test_imnet_selectable_activation(name):
         assert not np.allclose(np.asarray(y), np.asarray(yb))
 
 
+@pytest.mark.slow
 def test_trainer_falls_back_to_towers_for_smooth_activations():
-    """With a non-piecewise-linear decoder the jet is inexact; the loss
+    """[slow: config-fallback variant; the jet and tower paths are each
+    default-tested directly in test_jet.py]
+    With a non-piecewise-linear decoder the jet is inexact; the loss
     builder must choose the tower path (and still produce finite
     grads through the 2nd-order residuals)."""
     from space_time_pde_tpu.physics.systems import get_pde_layer
@@ -186,8 +189,12 @@ def test_batchnorm_mode_matches_torch_semantics():
                                rtol=5e-3, atol=5e-4)
 
 
+@pytest.mark.slow
 def test_unet_batchnorm_train_step_and_dp_equivalence():
-    """norm='batch' end to end: init yields batch_stats, the train step
+    """[slow: BatchNorm train-mode variant; GroupNorm dp equivalence
+    stays default, BatchNorm inference shape-invariance via
+    test_shape_transfer.py]
+    norm='batch' end to end: init yields batch_stats, the train step
     updates them, and the 8-way DP step with cross-replica stat sync
     (bn_axis_name) reproduces the single-device global-batch step."""
     from space_time_pde_tpu.parallel import make_dp_train_step
@@ -279,8 +286,11 @@ def test_batchnorm_checkpoint_roundtrip(tmp_path):
 
 # --------------------------------------------------- bf16 physics path
 
+@pytest.mark.slow
 def test_bf16_policy_keeps_f32_physics_accumulation():
-    """SURVEY §7 hard-parts: residuals are small differences of large
+    """[slow: bf16-policy accumulation variant; the policy's jet-dtype
+    behavior stays default via test_bf16_policy_runs_jet_in_f32]
+    SURVEY §7 hard-parts: residuals are small differences of large
     terms. Under use_bf16 the models compute in bf16 but residuals and
     losses must come out f32 and track the f32 model within bf16
     forward error (no catastrophic second-order blowup)."""

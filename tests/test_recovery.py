@@ -86,10 +86,15 @@ def test_train_cli_smoke(tmp_path):
     """The per-driver fast CLI smoke kept in the default run (the
     multi-minute recovery scenarios below are opt-in `slow`): one
     healthy epoch of the rb2d train CLI exits 0, prints finite
-    metrics, and writes a restorable checkpoint."""
+    metrics, and writes a restorable checkpoint.
+
+    alpha_pde 0 here: the jet-loss train-step graph is the single
+    biggest XLA:CPU compile in the CLI (~35 s of the smoke); the
+    PDE-on CLI path is covered by the slow recovery scenarios and the
+    turb3d smoke, the jet numerics by test_jet/test_fused_jet."""
     log_dir, base = _recovery_base_cmd(tmp_path)
     out = subprocess.run(
-        base + ["--epochs", "1", "--lr", "1e-3"],
+        base + ["--epochs", "1", "--lr", "1e-3", "--alpha_pde", "0"],
         env=subprocess_env(), capture_output=True, text=True, timeout=540)
     assert out.returncode == 0, out.stdout[-3000:] + out.stderr[-3000:]
     epoch_lines = [l for l in out.stdout.splitlines()

@@ -4,6 +4,7 @@ end-to-end with the sharded query (full grid-sharded pipeline)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from jax.sharding import Mesh, PartitionSpec as P
 
 from space_time_pde_tpu.parallel.sharded_unet import ShardedUNet3d
@@ -180,8 +181,11 @@ def test_unet3d_checkpoint_interchangeable_with_sharded():
                                rtol=5e-5, atol=5e-5)
 
 
+@pytest.mark.slow
 def test_sharded_batchnorm_matches_unsharded():
-    """--norm batch on the sharded encoder: train-mode outputs AND
+    """[slow: BatchNorm sharded-parity variant; GroupNorm sharded parity
+    stays default via test_dp_sp_with_sharded_encoder]
+    --norm batch on the sharded encoder: train-mode outputs AND
     updated running stats at any shard count equal plain UNet3d's
     (BatchNorm statistics pmean'd over the space axis; equal shard
     sizes make the mean of shard means the exact global mean)."""
@@ -231,8 +235,11 @@ def test_sharded_batchnorm_matches_unsharded():
                                rtol=5e-5, atol=5e-5)
 
 
+@pytest.mark.slow
 def test_dp_sp_sharded_encoder_batchnorm():
-    """2-D-mesh train step with halo-conv encoder in BatchNorm mode:
+    """[slow: BatchNorm sharded-encoder step variant; the GroupNorm
+    sharded-encoder step stays default]
+    2-D-mesh train step with halo-conv encoder in BatchNorm mode:
     running stats thread through TrainState and actually update."""
     import optax
     from space_time_pde_tpu.data import RB2DataLoader, save_npz, \

@@ -161,8 +161,11 @@ def test_checkpoint_roundtrip(tiny_setup, tmp_path):
     mngr.close()
 
 
+@pytest.mark.slow
 def test_legacy_checkpoint_opt_state_migration(tiny_setup, tmp_path):
-    """Checkpoints written before the optimizer was wrapped in
+    """[slow: legacy-layout migration; the live checkpoint path stays
+    default via test_checkpoint_roundtrip]
+    Checkpoints written before the optimizer was wrapped in
     optax.apply_if_finite (a different opt_state pytree) must still
     restore: the inner state is re-wrapped with fresh counters."""
     from space_time_pde_tpu.utils.checkpoint import CheckpointManager
