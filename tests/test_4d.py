@@ -87,8 +87,11 @@ def test_ns3d_abc_flow_exact():
         np.testing.assert_allclose(np.asarray(res[name]), 0.0, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_4d_end_to_end_train_step():
-    """UNet4d -> 16-corner query -> ns3d residuals -> grads, one step."""
+    """[slow: the 4-D train-step library path stays default-covered by
+    test_turb3d_train_cli_smoke] UNet4d -> 16-corner query -> ns3d
+    residuals -> grads, one step."""
     import optax
 
     igres = (4, 4, 4, 4)

@@ -1,5 +1,6 @@
 """M3 query-engine tests: analytic identities + torch oracle parity."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -55,7 +56,11 @@ def test_query_matches_torch_oracle_end_to_end():
                                rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_query_is_differentiable_wrt_points():
+    """[slow: point-derivative correctness stays default-covered
+    analytically by the jet tests (test_query_jet_matches_towers...),
+    which validate d(value)/d(points) exactly]"""
     C = 4
     model = ImNet(dim=3, in_features=C, out_features=2, nf=2)
     params = model.init(jax.random.PRNGKey(0), jnp.ones((1, 3 + C)))

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import torch
 
 from space_time_pde_tpu.models import ImNet, UNet3d
@@ -53,7 +54,10 @@ def test_unet3d_output_same_resolution():
     assert model.levels == 2
 
 
+@pytest.mark.slow
 def test_unet3d_anisotropic_grid():
+    """[slow: shape variant — anisotropic igres (4,16,16) runs in every
+    default rb2d CLI smoke; same-resolution shape check stays default]"""
     model = UNet3d(in_features=4, out_features=8, igres=(8, 32, 16), nf=8)
     x = jnp.ones((1, 8, 32, 16, 4))
     params = model.init(jax.random.PRNGKey(0), x)

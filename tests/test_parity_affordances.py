@@ -391,7 +391,10 @@ def test_bf16_policy_runs_jet_in_f32(monkeypatch):
 
 # ------------------------------------------------------------- velonly
 
+@pytest.mark.slow
 def test_velonly_flag_wiring():
+    """[slow: CLI flag-wiring variant; velonly dataset semantics stay
+    default-covered in test_dataset.py]"""
     import argparse
 
     from space_time_pde_tpu.utils.config import add_args, \

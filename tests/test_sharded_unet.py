@@ -40,9 +40,13 @@ def test_sharded_unet_matches_unsharded():
                                rtol=5e-5, atol=5e-5)
 
 
+@pytest.mark.slow
 def test_full_grid_sharded_pipeline():
-    """Sharded encode -> latent shard -> halo'd sharded query, vs the
-    unsharded encode + plain query: the complete config-#5 data path."""
+    """[slow: composition variant — the sharded encode + halo'd query
+    pieces stay default via test_dp_sp_with_sharded_encoder and the
+    halo-query parity tests] Sharded encode -> latent shard -> halo'd
+    sharded query, vs the unsharded encode + plain query: the complete
+    config-#5 data path."""
     from space_time_pde_tpu.models import (
         ImNet, query_local_implicit_grid,
     )

@@ -1,6 +1,7 @@
 """Sharded UNet4d encoder: 4-shard execution == 1-shard == the plain
 UNet4d (same params), completing config #5's 4-D sharded-encoder path."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -54,8 +55,12 @@ def test_sharded_unet4d_matches_plain_unet4d():
                                rtol=5e-5, atol=5e-5)
 
 
+@pytest.mark.slow
 def test_dp_sp_4d_sharded_encoder_step():
-    """make_dp_sp_train_step with the 4-D sharded encoder on a
+    """[slow: composition variant — encoder parity stays default via
+    test_sharded_unet4d_matches_plain_unet4d; the dp_sp sharded-encoder
+    step stays default in 3-D via test_dp_sp_with_sharded_encoder]
+    make_dp_sp_train_step with the 4-D sharded encoder on a
     (data=2, space=2) mesh: one full optimizer step runs and the
     gradient psum leaves params replica-identical across the mesh."""
     import optax
