@@ -97,6 +97,15 @@ def main():
              "(BASELINE.md: CPU f32 evals of a TPU-default-precision-"
              "trained model differ measurably).")
     parser.add_argument(
+        "--fetch_dtype", choices=["f32", "f16"], default="f32",
+        help="dtype the dense prediction is FETCHED to host in. The "
+             "eval CLI's steady-state wall time is the device-to-host "
+             "fetch of each 16 MB window through the remote-TPU tunnel "
+             "(decomposition printed below; BASELINE.md); 'f16' halves "
+             "the bytes. f16 rounding is ~2.4e-4 RMS per element — "
+             "negligible against rel-L2 ~5e-3 (adds in quadrature: "
+             "<0.2%) but not bit-identical, so f32 stays the default.")
+    parser.add_argument(
         "--split", choices=["custom", "val", "test"], default="custom",
         help="named split protocol (data/splits.py): 'val'/'test' pick "
              "the canonical independent-simulation file (unless "
@@ -194,6 +203,7 @@ def main():
     print(f"decode provenance: backend={prov['backend']} "
           f"kernel={prov['kernel']} dtype={prov['compute_dtype']} "
           f"matmul_precision={args.matmul_precision} "
+          f"fetch_dtype={args.fetch_dtype} "
           f"chunk={prov['chunk']} block_pts={prov['block_pts']} "
           f"eval_data={cfg.data.eval_data} step={int(state.step)} "
           f"windows={'full_sequence' if args.full_sequence else list(map(int, t0s))}",
@@ -253,6 +263,9 @@ def main():
     t_host = time.perf_counter() - th0
     td0 = time.perf_counter()
     outs = [decoder(state.params, lres) for lres in lres_list]
+    if args.fetch_dtype == "f16":
+        # Cast on device so the D2H fetch below moves half the bytes.
+        outs = [o.astype(jnp.float16) for o in outs]
     if outs:
         # Scalar fetch as the sync point (the tunnel's
         # block_until_ready under-synchronizes, BASELINE.md): after
