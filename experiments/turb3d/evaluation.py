@@ -80,6 +80,11 @@ def main():
         help="jax_default_matmul_precision for the encoder convs "
              "(see experiments/rb2d/evaluation.py --help)")
     parser.add_argument(
+        "--fetch_dtype", choices=["f32", "f16"], default="f32",
+        help="dtype dense predictions are FETCHED to host in; 'f16' "
+             "halves the tunnel-bound D2H bytes (see "
+             "experiments/rb2d/evaluation.py --help and BASELINE.md)")
+    parser.add_argument(
         "--full_sequence", action="store_true",
         help="decode the ENTIRE simulation: overlapping nt-frame "
              "windows stitched with a triangular temporal cross-fade "
@@ -177,6 +182,7 @@ def main():
     print(f"decode provenance: backend={prov['backend']} "
           f"kernel={prov['kernel']} dtype={prov['compute_dtype']} "
           f"matmul_precision={args.matmul_precision} "
+          f"fetch_dtype={args.fetch_dtype} "
           f"chunk={prov['chunk']} block_pts={prov['block_pts']} "
           f"eval_data={eval_data} "
           f"windows={'full_sequence' if args.full_sequence else list(map(int, t0s))}",
@@ -239,7 +245,11 @@ def main():
     for t0 in t0s:
         window, lres = window_lres(int(t0))
         windows.append(window)
-        outs.append(decoder(state.params, jnp.asarray(lres)))
+        out = decoder(state.params, jnp.asarray(lres))
+        if args.fetch_dtype == "f16":
+            # Cast on device so the D2H fetch moves half the bytes.
+            out = out.astype(jnp.float16)
+        outs.append(out)
     if outs:
         _ = float(outs[0].ravel()[0])   # tunnel-safe sync point
     t_first = time.perf_counter() - th0
