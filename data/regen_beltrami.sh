@@ -20,4 +20,5 @@ for S in 42 $(seq 100 299); do
   [ $S -eq 7 ] && continue
   gen $S
 done
+sha256sum data/beltrami_s*.npz | tee data/SHA256SUMS.beltrami
 echo DONE
