@@ -30,7 +30,7 @@ import numpy as np
 
 from space_time_pde_tpu.data import RB2DataLoader
 from space_time_pde_tpu.inference import (
-    make_dense_decoder, stitched_decode)
+    fit_dense_decoder, make_dense_decoder, stitched_decode)
 from space_time_pde_tpu.train import build_models, init_state
 from space_time_pde_tpu.train.trainer import make_optimizer
 from space_time_pde_tpu.utils.checkpoint import CheckpointManager
@@ -195,10 +195,14 @@ def main():
     else:
         decode_dtype = (jnp.bfloat16 if args.decode_dtype == "bf16"
                         else jnp.float32)
-    decoder = make_dense_decoder(unet, imnet, (T_hi, Z_hi, X_hi),
-                                 chunk=args.query_chunk,
-                                 batch_stats=state.batch_stats,
-                                 compute_dtype=decode_dtype)
+    probe_t0 = 0 if args.full_sequence else int(t0s[0])
+    probe_lres = jnp.asarray(ds.full_lres_sequence(probe_t0, eval_nt))
+    decoder = fit_dense_decoder(
+        lambda c: make_dense_decoder(unet, imnet, (T_hi, Z_hi, X_hi),
+                                     chunk=c,
+                                     batch_stats=state.batch_stats,
+                                     compute_dtype=decode_dtype),
+        state.params, probe_lres, chunk=args.query_chunk)
     prov = decoder.provenance
     print(f"decode provenance: backend={prov['backend']} "
           f"kernel={prov['kernel']} dtype={prov['compute_dtype']} "

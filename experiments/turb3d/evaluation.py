@@ -27,7 +27,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from space_time_pde_tpu.data.dataset4d import Field4DDataset
-from space_time_pde_tpu.inference import make_dense_decoder
+from space_time_pde_tpu.inference import (
+    fit_dense_decoder, make_dense_decoder,
+)
 from space_time_pde_tpu.models import UNet4d
 from space_time_pde_tpu.train.trainer import make_optimizer
 from space_time_pde_tpu.utils.checkpoint import CheckpointManager
@@ -175,9 +177,20 @@ def main():
     else:
         decode_dtype = (jnp.bfloat16 if args.decode_dtype == "bf16"
                         else jnp.float32)
-    decoder = make_dense_decoder(unet, imnet, hi_shape,
-                                 chunk=args.query_chunk, block_pts=128,
-                                 compute_dtype=decode_dtype)
+    def window_lres(t0):
+        window = ds.data[t0:t0 + a.nt]            # [nt, Z, Y, X, 4]
+        interp = RegularGridInterpolator(
+            [np.arange(s) for s in hi_shape], window)
+        lres = interp(lat_pts).reshape(*lres_sizes, -1).astype(np.float32)
+        return window, (lres - ds.channel_mean) / ds.channel_std
+
+    probe_t0 = 0 if args.full_sequence else int(t0s[0])
+    probe_lres = jnp.asarray(window_lres(probe_t0)[1])
+    decoder = fit_dense_decoder(
+        lambda c: make_dense_decoder(unet, imnet, hi_shape, chunk=c,
+                                     block_pts=128,
+                                     compute_dtype=decode_dtype),
+        state.params, probe_lres, chunk=args.query_chunk)
     prov = decoder.provenance
     print(f"decode provenance: backend={prov['backend']} "
           f"kernel={prov['kernel']} dtype={prov['compute_dtype']} "
@@ -190,13 +203,6 @@ def main():
     if args.full_sequence and (args.eval_t0 != 0 or args.eval_windows != 1):
         print("NOTE: --full_sequence decodes the whole simulation; "
               "--eval_t0/--eval_windows are ignored.", flush=True)
-
-    def window_lres(t0):
-        window = ds.data[t0:t0 + a.nt]            # [nt, Z, Y, X, 4]
-        interp = RegularGridInterpolator(
-            [np.arange(s) for s in hi_shape], window)
-        lres = interp(lat_pts).reshape(*lres_sizes, -1).astype(np.float32)
-        return window, (lres - ds.channel_mean) / ds.channel_std
 
     if args.full_sequence:
         from space_time_pde_tpu.inference import stitched_decode

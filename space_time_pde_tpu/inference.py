@@ -153,6 +153,44 @@ def stitched_decode(decoder, params, window_lres, t_total, nt, stride,
     return acc / wacc, starts
 
 
+def fit_dense_decoder(build, params, probe_lres, chunk, min_chunk=2048):
+    """Build a dense decoder, halving ``chunk`` until the compiled
+    program fits the device's scoped memory.
+
+    ``build(chunk)`` must return a :func:`make_dense_decoder` result.
+    The probe dispatches ONE real decode (its compile populates the jit
+    cache, so the subsequent per-window calls at the same shapes pay
+    nothing extra) with a scalar host fetch as the sync point (the
+    remote-TPU tunnel's ``block_until_ready`` under-synchronizes —
+    BASELINE.md). On an out-of-memory compile failure the chunk is
+    halved and the build retried.
+
+    Why: the fused-query Pallas program's scoped-VMEM footprint grows
+    with both the model width and the ``lax.map`` chunk buffer; the
+    flagship-size 4-D model (lat=64, imnet_nf=64) at the old default
+    chunk=32768 exceeded v5e's ~16.8 MB scoped-vmem limit by ~3%
+    (``log/r5_turb3d_200x_big/evals.log``), failing only at decode
+    time. This makes every checkpoint decodable out of the box.
+    """
+    while True:
+        dec = build(chunk)
+        try:
+            out = dec(params, probe_lres)
+            float(jnp.ravel(out)[0])   # sync: surfaces compile errors
+            return dec
+        except Exception as e:   # jax runtime errors share no base
+            msg = str(e).lower()
+            oom = ("vmem" in msg or "out of memory" in msg
+                   or "resource exhausted" in msg)
+            if oom and chunk > min_chunk:
+                print(f"NOTE: dense decode at chunk={chunk} exceeds "
+                      f"device scoped memory; retrying at chunk="
+                      f"{chunk // 2}", flush=True)
+                chunk //= 2
+                continue
+            raise
+
+
 def make_dense_decoder(unet, imnet, out_shape, chunk=65536, fused=None,
                        batch_stats=None, interpret=False, block_pts=512,
                        compute_dtype=None):

@@ -174,3 +174,40 @@ def test_stitched_accumulation_reconstructs_global_field():
             channel_mean=mean, channel_std=std)
         assert starts[0] == 0 and starts[-1] == T_total - nt
         np.testing.assert_allclose(pred, field, rtol=1e-4, atol=1e-5)
+
+
+def test_fit_dense_decoder_halves_chunk_on_oom():
+    """fit_dense_decoder retries at chunk/2 on scoped-memory compile
+    failures (the flagship-size 4-D decode exceeded v5e's scoped-vmem
+    limit at the old fixed default — BASELINE.md round 5) and
+    propagates everything else."""
+    import pytest
+    from space_time_pde_tpu.inference import fit_dense_decoder
+
+    calls = []
+
+    def build(chunk):
+        calls.append(chunk)
+
+        def dec(params, lres):
+            if chunk > 4096:
+                raise RuntimeError(
+                    "Ran out of memory in memory space vmem while ...")
+            return jnp.zeros((4,))
+        return dec
+
+    dec = fit_dense_decoder(build, None, None, chunk=16384)
+    assert calls == [16384, 8192, 4096]
+    assert dec(None, None).shape == (4,)
+
+    def build_bad(chunk):
+        def dec(params, lres):
+            raise ValueError("unrelated failure")
+        return dec
+
+    with pytest.raises(ValueError, match="unrelated"):
+        fit_dense_decoder(build_bad, None, None, chunk=16384)
+
+    # min_chunk stops the halving loop: the final OOM propagates.
+    with pytest.raises(RuntimeError, match="vmem"):
+        fit_dense_decoder(build, None, None, chunk=16384, min_chunk=16384)
