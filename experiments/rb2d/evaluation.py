@@ -66,6 +66,11 @@ def main():
                         help="write a GT-vs-prediction GIF to this path")
     parser.add_argument("--query_chunk", type=int, default=65536)
     parser.add_argument(
+        "--block_pts", type=int, default=512,
+        help="fused-kernel point-block size (see the 4-D driver's "
+             "--block_pts help; the auto-fit probe halves it on "
+             "scoped-VMEM overflow)")
+    parser.add_argument(
         "--eval_windows", type=int, default=1,
         help="evaluate N windows evenly spaced through the data "
              "(starting at --eval_t0) and report mean/std rel-L2; "
@@ -198,11 +203,12 @@ def main():
     probe_t0 = 0 if args.full_sequence else int(t0s[0])
     probe_lres = jnp.asarray(ds.full_lres_sequence(probe_t0, eval_nt))
     decoder = fit_dense_decoder(
-        lambda c: make_dense_decoder(unet, imnet, (T_hi, Z_hi, X_hi),
-                                     chunk=c,
-                                     batch_stats=state.batch_stats,
-                                     compute_dtype=decode_dtype),
-        state.params, probe_lres, chunk=args.query_chunk)
+        lambda c, b: make_dense_decoder(unet, imnet, (T_hi, Z_hi, X_hi),
+                                        chunk=c, block_pts=b,
+                                        batch_stats=state.batch_stats,
+                                        compute_dtype=decode_dtype),
+        state.params, probe_lres, chunk=args.query_chunk,
+        block_pts=args.block_pts)
     prov = decoder.provenance
     print(f"decode provenance: backend={prov['backend']} "
           f"kernel={prov['kernel']} dtype={prov['compute_dtype']} "

@@ -72,6 +72,12 @@ def main():
     parser.add_argument("--save_path", type=str, default="turb3d_pred.npz")
     parser.add_argument("--query_chunk", type=int, default=32768)
     parser.add_argument(
+        "--block_pts", type=int, default=128,
+        help="fused-kernel point-block size. The flagship-size model "
+             "decoding in f32 needs 64 on v5e (the auto-fit probe finds "
+             "this, at one wasted remote compile per halving — pass it "
+             "explicitly to skip the probe retries; BASELINE.md)")
+    parser.add_argument(
         "--decode_dtype", choices=["auto", "bf16", "f32"], default="auto",
         help="fused-kernel matmul dtype for the dense decode. 'auto' "
              "follows the checkpoint's use_bf16 policy; the decode "
@@ -187,10 +193,11 @@ def main():
     probe_t0 = 0 if args.full_sequence else int(t0s[0])
     probe_lres = jnp.asarray(window_lres(probe_t0)[1])
     decoder = fit_dense_decoder(
-        lambda c: make_dense_decoder(unet, imnet, hi_shape, chunk=c,
-                                     block_pts=128,
-                                     compute_dtype=decode_dtype),
-        state.params, probe_lres, chunk=args.query_chunk)
+        lambda c, b: make_dense_decoder(unet, imnet, hi_shape, chunk=c,
+                                        block_pts=b,
+                                        compute_dtype=decode_dtype),
+        state.params, probe_lres, chunk=args.query_chunk,
+        block_pts=args.block_pts)
     prov = decoder.provenance
     print(f"decode provenance: backend={prov['backend']} "
           f"kernel={prov['kernel']} dtype={prov['compute_dtype']} "

@@ -153,39 +153,51 @@ def stitched_decode(decoder, params, window_lres, t_total, nt, stride,
     return acc / wacc, starts
 
 
-def fit_dense_decoder(build, params, probe_lres, chunk, min_chunk=2048):
-    """Build a dense decoder, halving ``chunk`` until the compiled
-    program fits the device's scoped memory.
+def fit_dense_decoder(build, params, probe_lres, chunk, block_pts=512,
+                      min_chunk=2048, min_block=32):
+    """Build a dense decoder, shrinking geometry until the compiled
+    program fits the device's memory limits.
 
-    ``build(chunk)`` must return a :func:`make_dense_decoder` result.
-    The probe dispatches ONE real decode (its compile populates the jit
-    cache, so the subsequent per-window calls at the same shapes pay
-    nothing extra) with a scalar host fetch as the sync point (the
+    ``build(chunk, block_pts)`` must return a :func:`make_dense_decoder`
+    result. The probe dispatches ONE real decode (its compile populates
+    the jit cache, so the subsequent per-window calls at the same shapes
+    pay nothing extra) with a scalar host fetch as the sync point (the
     remote-TPU tunnel's ``block_until_ready`` under-synchronizes —
-    BASELINE.md). On an out-of-memory compile failure the chunk is
-    halved and the build retried.
+    BASELINE.md). Two failure classes map to two knobs:
 
-    Why: the fused-query Pallas program's scoped-VMEM footprint grows
-    with both the model width and the ``lax.map`` chunk buffer; the
-    flagship-size 4-D model (lat=64, imnet_nf=64) at the old default
-    chunk=32768 exceeded v5e's ~16.8 MB scoped-vmem limit by ~3%
-    (``log/r5_turb3d_200x_big/evals.log``), failing only at decode
-    time. This makes every checkpoint decodable out of the box.
+    - a **scoped-vmem** failure is the Pallas KERNEL's footprint
+      (parameter tiles + per-block activations; chunk-independent —
+      measured: halving chunk left the scoped allocation at exactly
+      17.27M) → halve ``block_pts``;
+    - any other out-of-memory (HBM / resource exhausted) is the
+      ``lax.map`` chunk buffer → halve ``chunk``.
+
+    Why: the flagship-size 4-D model (lat=64, imnet_nf=64) decoding in
+    f32 (the round-5 dtype plumbing — r4 silently decoded bf16, whose
+    kernel footprint is half) exceeds v5e's ~16.8 MB scoped-vmem limit
+    by ~3% at block_pts=128 (``log/r5_turb3d_200x_big/evals.log``),
+    failing only at decode time. This makes every checkpoint decodable
+    out of the box, with the fitted geometry in the provenance line.
     """
     while True:
-        dec = build(chunk)
+        dec = build(chunk, block_pts)
         try:
             out = dec(params, probe_lres)
             float(jnp.ravel(out)[0])   # sync: surfaces compile errors
             return dec
         except Exception as e:   # jax runtime errors share no base
             msg = str(e).lower()
-            oom = ("vmem" in msg or "out of memory" in msg
-                   or "resource exhausted" in msg)
+            if "vmem" in msg and block_pts > min_block:
+                print(f"NOTE: dense-decode kernel at block_pts="
+                      f"{block_pts} exceeds scoped VMEM; retrying at "
+                      f"block_pts={block_pts // 2}", flush=True)
+                block_pts //= 2
+                continue
+            oom = ("out of memory" in msg or "resource exhausted" in msg)
             if oom and chunk > min_chunk:
                 print(f"NOTE: dense decode at chunk={chunk} exceeds "
-                      f"device scoped memory; retrying at chunk="
-                      f"{chunk // 2}", flush=True)
+                      f"device memory; retrying at chunk={chunk // 2}",
+                      flush=True)
                 chunk //= 2
                 continue
             raise

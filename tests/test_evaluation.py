@@ -176,31 +176,34 @@ def test_stitched_accumulation_reconstructs_global_field():
         np.testing.assert_allclose(pred, field, rtol=1e-4, atol=1e-5)
 
 
-def test_fit_dense_decoder_halves_chunk_on_oom():
-    """fit_dense_decoder retries at chunk/2 on scoped-memory compile
-    failures (the flagship-size 4-D decode exceeded v5e's scoped-vmem
-    limit at the old fixed default — BASELINE.md round 5) and
-    propagates everything else."""
+def test_fit_dense_decoder_shrinks_right_knob_on_oom():
+    """fit_dense_decoder maps the two OOM classes to the right knobs:
+    scoped-VMEM (the Pallas kernel's chunk-independent footprint —
+    the flagship-size 4-D f32 decode exceeded v5e's limit at
+    block_pts=128, BASELINE.md round 5) halves block_pts; HBM/chunk
+    OOM halves chunk; everything else propagates."""
     import pytest
     from space_time_pde_tpu.inference import fit_dense_decoder
 
     calls = []
 
-    def build(chunk):
-        calls.append(chunk)
+    def build(chunk, block_pts):
+        calls.append((chunk, block_pts))
 
         def dec(params, lres):
-            if chunk > 4096:
+            if block_pts > 64:
                 raise RuntimeError(
-                    "Ran out of memory in memory space vmem while ...")
+                    "Scoped allocation ... exceeded scoped vmem limit")
+            if chunk > 8192:
+                raise RuntimeError("Ran out of memory allocating ...")
             return jnp.zeros((4,))
         return dec
 
-    dec = fit_dense_decoder(build, None, None, chunk=16384)
-    assert calls == [16384, 8192, 4096]
+    dec = fit_dense_decoder(build, None, None, chunk=16384, block_pts=128)
+    assert calls == [(16384, 128), (16384, 64), (8192, 64)]
     assert dec(None, None).shape == (4,)
 
-    def build_bad(chunk):
+    def build_bad(chunk, block_pts):
         def dec(params, lres):
             raise ValueError("unrelated failure")
         return dec
@@ -208,6 +211,7 @@ def test_fit_dense_decoder_halves_chunk_on_oom():
     with pytest.raises(ValueError, match="unrelated"):
         fit_dense_decoder(build_bad, None, None, chunk=16384)
 
-    # min_chunk stops the halving loop: the final OOM propagates.
+    # The floors stop the shrinking loops: the final OOM propagates.
     with pytest.raises(RuntimeError, match="vmem"):
-        fit_dense_decoder(build, None, None, chunk=16384, min_chunk=16384)
+        fit_dense_decoder(build, None, None, chunk=16384, block_pts=128,
+                          min_chunk=16384, min_block=128)
